@@ -1,0 +1,86 @@
+"""Frozen engine configuration constants.
+
+Every semantic knob of the engine lives here so the Spark engine, the
+pure-Python oracle (tests/oracle.py) and the DuckDB oracle SQL
+(__spark_entry__.py) share byte-identical contracts.
+
+Reference parity notes (citations into /root/reference):
+- Tokenizer: the reference tokenizes morphologically-annotated
+  "vertical format" text with a lemma/form regex and lowercases when
+  preprocessing is on (src/invertedIndex.py:40-69). Our input is plain
+  prose (transcript turns), so the equivalent frozen contract is a
+  Unicode-safe ASCII word regex over lowercased text.
+- Stopwords: loaded but the filter is commented out in the reference
+  (src/invertedIndex.py:34-38, :65-66) → config flag, default OFF.
+- BM25: the reference's closest analogue is SMART 'ltu' pivoted-unique
+  normalization with slope a=0.65, pivot=2630
+  (src/invertedIndex.py:278-283). The reference defines no k1/b; we
+  freeze the standard k1=1.2, b=0.75 here (BASELINE.json north_star).
+- Tie order: the reference's heapq.nlargest tie order is
+  nondeterministic dict order (src/invertedIndex.py:286,568); we pin
+  the deterministic total order (score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+import os
+
+# --- tokenization -----------------------------------------------------
+# Applied to lower(text). Identical semantics in Python `re`, Spark
+# (Java regex via regexp_extract_all) and DuckDB (RE2): ASCII-only
+# alnum words starting with a letter. Frozen — do not change without
+# regenerating goldens.
+TOKEN_RE = r"[a-z][a-z0-9]*"
+
+# 37-word stoplist carried over verbatim from the reference fixture
+# (/root/reference/input/stopwords.txt); used only when
+# filter_stopwords=True (default False to match the reference, which
+# loads but never applies it — src/invertedIndex.py:65-66).
+STOPWORDS_PATH = os.path.join(os.path.dirname(__file__), "..", "fixtures", "stopwords.txt")
+
+
+def load_stopwords() -> frozenset[str]:
+    with open(os.path.abspath(STOPWORDS_PATH), encoding="utf-8") as f:
+        return frozenset(w.strip() for w in f if w.strip())
+
+
+FILTER_STOPWORDS_DEFAULT = False
+
+# --- BM25 -------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Lucene-style "plus one" idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+# Always positive, so hot terms never score negative (matters in our
+# flat synthetic vocabulary where df ≈ 0.8 * N).
+
+# SMART pivoted-unique normalization constants (reference 'u' scheme,
+# src/invertedIndex.py:279-280,559-560).
+PIVOT_SLOPE = 0.65
+PIVOT = 2630.0
+
+# --- ranking ----------------------------------------------------------
+TOP_K_DEFAULT = 10
+TOP_K_TREC = 1000  # reference run preset (src/run:25,31,36)
+RUN_ID_DEFAULT = "spark-bm25"
+
+# --- index layout -----------------------------------------------------
+N_TERM_BUCKETS = 64        # hash buckets for the persisted index table
+POSTING_BLOCK = 128        # postings per skip block (block-max metadata)
+SALT_BUCKETS = 16          # two-phase salted posting aggregation fan-out
+
+# --- fixed benchmark / correctness query set --------------------------
+# Terms drawn from the synthetic documents vocabulary (TESTDATA.md).
+# Mirrors the reference topic structure: common terms, rare terms
+# ("dup" is the injected-duplicate marker, df≈5% of docs), a multi-term
+# query, a repeated term (qtf>1), and an out-of-vocabulary miss
+# (reference miss path: src/invertedIndex.py:260-261).
+QUERY_SET: list[tuple[str, str]] = [
+    ("q001", "spark join"),
+    ("q002", "dup"),
+    ("q003", "hash table scan"),
+    ("q004", "fast fast query"),
+    ("q005", "window group order"),
+    ("q006", "zzzmissing spark"),
+    ("q007", "customer line part small"),
+    ("q008", "the a"),
+]

@@ -1,0 +1,187 @@
+"""Inverted-index build pipeline (SURVEY.md §2.3 A1–A8, §2.6 O1–O3).
+
+Reference dataflow (src/invertedIndex.py buildIndex :577-627):
+per-doc Counter → append packed postings to a giant in-memory dict →
+sorted write with df. The rebuild is shuffle-native:
+
+    transcripts ── term_counts (Arrow, no shuffle) ──┐
+        │                                            ├─⇉ groupBy(term, range_salt)
+        └─⇉ groupBy(doc_id) → doc_stats              │     sorted partial runs
+                                                     └─⇉ groupBy(term) merge runs
+                                                           (concat, NOT re-sort)
+                                                           → df/cf + postings
+
+Skew design (north rule): hot stopword-like terms with df ≈ N would
+put one term's whole posting list through a single reducer. The salt
+is a RANGE over doc_id (salt = floor(doc_id·S/N)) so each partial run
+covers a disjoint, ordered doc_id interval; phase 2 concatenates runs
+in salt order — already globally sorted, no re-sort (SURVEY §7 hard
+part #3). The blocked builder never materializes a full hot-term
+posting array at all: one output row per (term, block), which is the
+only layout that survives 10^12 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conf import POSTING_BLOCK, SALT_BUCKETS
+from ..functions.tokenize import term_counts
+
+
+def doc_stats(tc: DataFrame) -> DataFrame:
+    """Per-doc stats in ONE pass (reference does 4 separate dicts,
+    src/invertedIndex.py:602-611,675-701):
+
+    - dl      = Σ tf          (token count — BM25 length; new, §1.3.5)
+    - len_l2  = √(Σ tf²)      (reference 'docLength', :675-684)
+    - uniq    = #distinct terms (:686-690)
+    - max_tf  = max tf         (:692-695)
+    - ave_tf  = Σtf / uniq     (:697-701)
+    """
+    return tc.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("len_l2"),
+        F.count("*").cast("long").alias("uniq"),
+        F.max("tf").cast("int").alias("max_tf"),
+        (F.sum("tf") / F.count("*")).alias("ave_tf"),
+    )
+
+
+def term_stats(tc: DataFrame) -> DataFrame:
+    """term → (df, cf). df = #docs containing term (reference
+    len(postings), src/invertedIndex.py:718); cf = Σ tf (new — required
+    by the north rule's per-stage metrics, absent in the reference)."""
+    return tc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def corpus_stats(transcripts_with_ids: DataFrame, ds: DataFrame) -> dict:
+    """N (collection size — reference hardcodes 81735,
+    src/invertedIndex.py:787) and avgdl for BM25. N counts all turns
+    (incl. token-less ones, matching the reference's manifest count);
+    avgdl averages over scored docs."""
+    n_docs = transcripts_with_ids.count()
+    row = ds.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_scored")).collect()[0]
+    return {"N": n_docs, "avgdl": float(row.avgdl or 0.0), "n_scored": int(row.n_scored)}
+
+
+def postings_simple(tc: DataFrame) -> DataFrame:
+    """Unsalted posting assembly (A6/A7) — baseline used to property-
+    test the salted/blocked paths. postings sorted by doc_id asc (O2,
+    explicit — required for delta-gap + DAAT)."""
+    return tc.groupBy("term").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings"),
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def postings_salted(tc: DataFrame, n_docs: int, salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Two-phase salted posting assembly (north rule skew handling).
+
+    Phase 1: groupBy(term, range_salt) → sorted partial run. The salt
+    is ordered and disjoint in doc_id, so phase 2 is
+    flatten(sort runs by salt) — pure concatenation of sorted runs,
+    never a re-sort of the full list.
+    """
+    span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
+    runs = (
+        tc.withColumn("_salt", (F.col("doc_id") / F.lit(span)).cast("int"))
+        .groupBy("term", "_salt")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("run"),
+            F.count("*").cast("long").alias("run_df"),
+            F.sum("tf").cast("long").alias("run_cf"),
+        )
+    )
+    return (
+        runs.groupBy("term")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_salt", "run"))),
+                    lambda s: s["run"],
+                )
+            ).alias("postings"),
+            F.sum("run_df").alias("df"),
+            F.sum("run_cf").alias("cf"),
+        )
+    )
+
+
+def postings_blocked(tc: DataFrame, n_docs: int,
+                     salt_buckets: int = SALT_BUCKETS,
+                     block: int = POSTING_BLOCK) -> DataFrame:
+    """Scale-path index layout: one row per (term, block_no) with ≤
+    ``block`` postings + block-max skip metadata (R8 prerequisite —
+    the reference only *hints* at this, src/invertedIndex.py:308-311).
+
+    No operator ever holds a full hot-term posting list: phase 1 runs
+    are bounded by the salt range; blocks are cut inside each run; the
+    only per-term global state is the S-row run directory that the
+    block-numbering window sorts (tiny). Output columns:
+
+        term, block_no, df, cf, postings array<struct<doc_id,tf>>,
+        first_doc_id, last_doc_id, block_max_tf
+
+    df/cf are per-term totals repeated on each block row (they ride
+    along to avoid a second dictionary join at query time).
+    """
+    span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
+    runs = (
+        tc.withColumn("_salt", (F.col("doc_id") / F.lit(span)).cast("int"))
+        .groupBy("term", "_salt")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("run"),
+            F.count("*").cast("long").alias("run_df"),
+            F.sum("tf").cast("long").alias("run_cf"),
+        )
+    )
+    # Per-term run directory: S rows/term — window state is bounded.
+    w = Window.partitionBy("term").orderBy("_salt")
+    runs = (
+        runs.withColumn("_blocks_before",
+                        F.coalesce(
+                            F.sum(F.ceil(F.col("run_df") / F.lit(block)))
+                            .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                            F.lit(0)))
+        .withColumn("df", F.sum("run_df").over(Window.partitionBy("term")))
+        .withColumn("cf", F.sum("run_cf").over(Window.partitionBy("term")))
+    )
+    # Cut each run into blocks: posexplode over chunk indices.
+    n_chunks = F.ceil(F.size("run") / F.lit(block)).cast("int")
+    chunked = runs.select(
+        "term", "df", "cf", "_blocks_before", "run",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_pos", "_chunk"),
+    ).select(
+        "term", "df", "cf",
+        (F.col("_blocks_before") + F.col("_chunk")).cast("long").alias("block_no"),
+        F.slice("run", F.col("_chunk") * block + 1, block).alias("postings"),
+    )
+    return chunked.select(
+        "term", "block_no", "df", "cf", "postings",
+        F.col("postings")[0]["doc_id"].alias("first_doc_id"),
+        F.element_at("postings", -1)["doc_id"].alias("last_doc_id"),
+        F.array_max(F.transform("postings", lambda p: p["tf"])).alias("block_max_tf"),
+    )
+
+
+def build_all(transcripts_with_ids: DataFrame, use_arrow_tokenizer: bool = True):
+    """Full build: (term_counts, doc_stats, term_stats, blocked index).
+
+    Returns DataFrames (lazy); the checkpointed driver in plans/ adds
+    persistence + metrics around each stage boundary.
+    """
+    tc = term_counts(transcripts_with_ids) if use_arrow_tokenizer else None
+    if tc is None:
+        from ..functions.tokenize import term_counts_sql
+        tc = term_counts_sql(transcripts_with_ids)
+    ds = doc_stats(tc)
+    n_docs = transcripts_with_ids.count()
+    idx = postings_blocked(tc, n_docs)
+    return tc, ds, term_stats(tc), idx, n_docs

@@ -1,0 +1,219 @@
+"""Query engine — TAAT scoring, BM25 + SMART schemes, top-k, TREC
+export (SURVEY.md §2.4 J1/J2, §2.5 R1–R9).
+
+Reference lifecycle (src/invertedIndex.py cosineScoreTAAT :494-575):
+per query term: dictionary probe → seek+parse postings → weight →
+accumulate scores[doc] → normalize → heapq.nlargest(k).
+
+Spark lifecycle: broadcast query_terms ⨝ postings (semi-join — missing
+terms drop out exactly like the reference's miss path :260-261) →
+per-(qid,doc) partial products → groupBy(qid, doc_id).sum → broadcast
+term-dict/doc-stats joins → per-qid window top-k.
+
+Determinism: ranking orders by (round(score, 6) DESC, doc_id ASC).
+Rounding before ranking makes tie-breaks bit-stable across engines
+(Spark/DuckDB/Python sum doubles in different orders; exact ties in
+the corpus would otherwise flip at the last ulp — SURVEY §1.3.6).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conf import (BM25_B, BM25_K1, PIVOT, PIVOT_SLOPE, RUN_ID_DEFAULT,
+                    TOP_K_DEFAULT)
+from ..functions.tokenize import tokenize_py
+
+SCORE_DECIMALS = 6
+
+
+def query_terms_df(spark: SparkSession, query_set: list[tuple[str, str]]) -> DataFrame:
+    """(qid, term, qtf) — query-side tokenize+count is driver-local
+    (A9/S4: queries are tiny; reference parses topics one at a time,
+    src/invertedIndex.py:100-123,226-227). Same tokenizer function."""
+    rows = []
+    for qid, title in query_set:
+        for term, qtf in sorted(Counter(tokenize_py(title)).items()):
+            rows.append((qid, term, qtf))
+    return spark.createDataFrame(rows, "qid string, term string, qtf int")
+
+
+def _bm25_idf(df_col, n_docs: int):
+    """Lucene-style always-positive idf (conf.py)."""
+    return F.log1p((F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def bm25_idf_py(df: int, n_docs: int) -> float:
+    return math.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """R6/R9: per-qid top-k with the pinned deterministic tie order."""
+    scored = scored.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )
+
+
+def bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+              qterms: DataFrame, n_docs: int, avgdl: float,
+              k: int = TOP_K_DEFAULT, k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Top-k BM25 from the (doc_id, term, tf) relation.
+
+    Join order (by size): tc (huge) ⨝ broadcast(qterms) — the semi-join
+    prunes the scan to query terms only — ⨝ broadcast(term dict for
+    df/idf) ⨝ doc_stats on doc_id for dl. Catalyst pushes the term
+    filter into the parquet scan of a persisted tc/index table.
+    """
+    qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
+    hits = tc.join(qdict, "term", "inner").join(ds.select("doc_id", "dl"), "doc_id")
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
+    scored = (
+        hits.select("qid", "doc_id", partial.alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, k)
+
+
+def bm25_topk_from_index(index: DataFrame, ds: DataFrame, qterms: DataFrame,
+                         n_docs: int, avgdl: float, k: int = TOP_K_DEFAULT,
+                         k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Same scoring against the persisted blocked index table
+    (term, block_no, df, cf, postings). df rides on the block rows so
+    no extra dictionary join is needed; postings are exploded back to
+    (doc_id, tf) after the term semi-join prunes blocks."""
+    hits = (
+        index.join(F.broadcast(qterms), "term", "inner")
+        .select("qid", "qtf", "df",
+                F.explode("postings").alias("p"))
+        .select("qid", "qtf", "df",
+                F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+        .join(ds.select("doc_id", "dl"), "doc_id")
+    )
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
+    scored = (
+        hits.select("qid", "doc_id", partial.alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, k)
+
+
+# --- SMART ddd.qqq weighting (R1, reference calculateWeightOfTerm
+# src/invertedIndex.py:171-202) -----------------------------------------
+
+def _smart_tf(scheme: str, tf, max_tf=None, ave_tf=None):
+    """tf component. n natural, l log, a augmented, b boolean, L
+    log-average. (Reference 'L' at :189 has an operator-precedence bug;
+    we implement the textbook formula and note the divergence.)"""
+    if scheme == "n":
+        return tf
+    if scheme == "l":
+        return 1.0 + F.log10(tf)
+    if scheme == "a":
+        return 0.5 + 0.5 * tf / max_tf
+    if scheme == "b":
+        return F.when(tf > 0, 1.0).otherwise(0.0)
+    if scheme == "L":
+        return (1.0 + F.log10(tf)) / (1.0 + F.log10(ave_tf))
+    raise ValueError(f"unknown tf scheme {scheme!r}")
+
+
+def _smart_df(scheme: str, df_col, n_docs: int):
+    """df component. n none, t idf, p prob-idf (:181-186)."""
+    if scheme == "n":
+        return F.lit(1.0)
+    if scheme == "t":
+        return F.log10(F.lit(float(n_docs)) / df_col)
+    if scheme == "p":
+        return F.greatest(F.lit(0.0), F.log10((F.lit(float(n_docs)) - df_col) / df_col))
+    raise ValueError(f"unknown df scheme {scheme!r}")
+
+
+def smart_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+               query_set: list[tuple[str, str]], n_docs: int,
+               scheme: str = "nnc.nnn", k: int = TOP_K_DEFAULT) -> DataFrame:
+    """SMART ddd.qqq TAAT scoring (reference cosineScoreTAAT
+    :494-575). Doc norm 'c' divides by the precomputed L2 norm of the
+    RAW tf vector (reference docLengths semantics, :276,675-684) —
+    not of the weighted vector. Norm 'u' is pivoted-unique
+    (:278-283): 1/(slope·uniq + (1−slope)·pivot).
+
+    Query weights (qqq) are computed driver-side per query — constants
+    per (qid, term); the query-side norm is a per-qid constant that
+    never changes ranking but is kept for score identity (R4)."""
+    ddd, qqq = scheme.split(".")
+    spark = tc.sparkSession
+
+    # driver-side query weights (A9 + R1 query side + R4)
+    qrows = []
+    for qid, title in query_set:
+        counts = Counter(tokenize_py(title))
+        raw = {t: c for t, c in counts.items()}
+        qws = {}
+        for t, qtf in raw.items():
+            if qqq[0] == "n":
+                w = float(qtf)
+            elif qqq[0] == "l":
+                w = 1.0 + math.log10(qtf)
+            elif qqq[0] == "b":
+                w = 1.0
+            else:
+                raise ValueError(f"query tf scheme {qqq[0]!r}")
+            qws[t] = w
+        if qqq[2] == "c":
+            norm = math.sqrt(sum(w * w for w in qws.values())) or 1.0
+        else:
+            norm = 1.0
+        for t, w in qws.items():
+            qrows.append((qid, t, w / norm))
+    qdf = spark.createDataFrame(qrows, "qid string, term string, qw double")
+    # NOTE: query-side df component (qqq[1]) needs df from the corpus;
+    # applied as a column below so 'ltc'-style query schemes work.
+
+    hits = (
+        tc.join(F.broadcast(qdf), "term", "inner")
+        .join(F.broadcast(tstats), "term", "inner")
+        .join(ds, "doc_id")
+    )
+    tf = F.col("tf").cast("double")
+    dfc = F.col("df").cast("double")
+    dw = _smart_tf(ddd[0], tf, F.col("max_tf").cast("double"), F.col("ave_tf")) \
+        * _smart_df(ddd[1], dfc, n_docs)
+    qw = F.col("qw") * _smart_df(qqq[1], dfc, n_docs)
+    if ddd[2] == "c":
+        dw = dw / F.col("len_l2")
+    elif ddd[2] == "u":
+        dw = dw / (PIVOT_SLOPE * F.col("uniq") + (1.0 - PIVOT_SLOPE) * PIVOT)
+    elif ddd[2] != "n":
+        raise ValueError(f"doc norm {ddd[2]!r}")
+    scored = (
+        hits.select("qid", "doc_id", (qw * dw).alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, k)
+
+
+def trec_export(results: DataFrame, run_id: str = RUN_ID_DEFAULT) -> DataFrame:
+    """S10: TREC run lines `qid 0 docid rank score runId`
+    (reference :293-296,570-573)."""
+    return results.select(
+        F.concat_ws(" ", "qid", F.lit("0"), F.col("doc_id").cast("string"),
+                    F.col("rank").cast("string"), F.col("score").cast("string"),
+                    F.lit(run_id)).alias("line"))
