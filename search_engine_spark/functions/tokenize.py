@@ -54,7 +54,8 @@ def tokens_col(col: Column | str, filter_stopwords: bool = FILTER_STOPWORDS_DEFA
     Equivalent DuckDB SQL: regexp_extract_all(lower(text), TOKEN_RE).
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+    toks = F.coalesce(F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0),
+                      F.array().cast("array<string>"))  # NULL text → [] (parity with tokenize_py)
     if filter_stopwords:
         # lambda filter (not array_except, which would dedup duplicates)
         toks = F.filter(toks, lambda t: ~t.isin(*sorted(load_stopwords())))

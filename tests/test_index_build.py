@@ -1,0 +1,129 @@
+"""Index-build tests (north rule "index-stats tests"): Spark stats vs
+pure-Python oracle; posting invariants; salted/blocked path identity;
+doc_id mint properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.tokenize import term_counts
+from search_engine_spark.operators.docids import mint_doc_ids
+from search_engine_spark.operators.index_build import (corpus_stats, doc_stats,
+                                                       postings_blocked,
+                                                       postings_salted,
+                                                       postings_simple,
+                                                       term_stats)
+from tests.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    tw, rows = tiny_corpus
+    tc = term_counts(tw).cache()
+    oracle = OracleIndex(rows)
+    return tw, tc, oracle
+
+
+def test_term_stats_match_oracle(built):
+    _, tc, oracle = built
+    got = {r.term: (r.df, r.cf) for r in term_stats(tc).collect()}
+    exp = {t: (oracle.df[t], oracle.cf[t]) for t in oracle.df}
+    assert got == exp
+
+
+def test_doc_stats_match_oracle(built):
+    _, tc, oracle = built
+    got = {r.doc_id: r for r in doc_stats(tc).collect()}
+    assert set(got) == set(oracle.dl)
+    for d in oracle.dl:
+        r = got[d]
+        assert r.dl == oracle.dl[d]
+        assert r.uniq == oracle.uniq[d]
+        assert r.max_tf == oracle.max_tf[d]
+        assert math.isclose(r.len_l2, oracle.len_l2[d], rel_tol=1e-12)
+        assert math.isclose(r.ave_tf, oracle.ave_tf[d], rel_tol=1e-12)
+
+
+def test_corpus_stats(built, tiny_corpus):
+    tw, rows = tiny_corpus
+    _, tc, oracle = built
+    cs = corpus_stats(tw, doc_stats(tc))
+    assert cs["N"] == len(rows)
+    assert math.isclose(cs["avgdl"], oracle.avgdl, rel_tol=1e-12)
+
+
+def test_postings_match_oracle_and_sorted(built):
+    _, tc, oracle = built
+    got = {r.term: [(p.doc_id, p.tf) for p in r.postings]
+           for r in postings_simple(tc).collect()}
+    assert got == dict(oracle.postings)
+    for plist in got.values():
+        ids = [d for d, _ in plist]
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_salted_equals_simple(built, tiny_corpus):
+    tw, rows = tiny_corpus
+    _, tc, _ = built
+    simple = {r.term: ([(p.doc_id, p.tf) for p in r.postings], r.df, r.cf)
+              for r in postings_simple(tc).collect()}
+    for s in (2, 7, 16):
+        salted = {r.term: ([(p.doc_id, p.tf) for p in r.postings], r.df, r.cf)
+                  for r in postings_salted(tc, len(rows), salt_buckets=s).collect()}
+        assert salted == simple, f"salt_buckets={s}"
+
+
+def test_blocked_reconstructs_simple(built, tiny_corpus):
+    tw, rows = tiny_corpus
+    _, tc, _ = built
+    simple = {r.term: [(p.doc_id, p.tf) for p in r.postings]
+              for r in postings_simple(tc).collect()}
+    blocked = postings_blocked(tc, len(rows), salt_buckets=4, block=8).collect()
+    rebuilt: dict[str, list] = {}
+    for r in sorted(blocked, key=lambda r: (r.term, r.block_no)):
+        rebuilt.setdefault(r.term, []).extend((p.doc_id, p.tf) for p in r.postings)
+        # block invariants
+        assert len(r.postings) <= 8
+        assert r.first_doc_id == r.postings[0].doc_id
+        assert r.last_doc_id == r.postings[-1].doc_id
+        assert r.block_max_tf == max(p.tf for p in r.postings)
+    assert rebuilt == simple
+    # per-term df/cf ride along correctly and block_nos are contiguous
+    by_term: dict[str, list] = {}
+    for r in blocked:
+        by_term.setdefault(r.term, []).append(r)
+    for term, rs in by_term.items():
+        assert sorted(r.block_no for r in rs) == list(range(len(rs)))
+        assert all(r.df == len(simple[term]) for r in rs)
+
+
+def test_invariants_sum_df_cf(built):
+    """Σ df over terms == #distinct (term,doc); Σ cf == Σ dl."""
+    _, tc, oracle = built
+    ts = term_stats(tc).agg(F.sum("df").alias("sdf"), F.sum("cf").alias("scf")).collect()[0]
+    assert ts.sdf == sum(oracle.df.values()) == tc.count()
+    assert ts.scf == sum(oracle.dl.values())
+
+
+def test_doc_id_mint_dense_and_ordered(spark):
+    from search_engine_spark.sources.transcripts import generate_transcripts
+    t = generate_transcripts(spark, n_convs=40, seed=7, partitions=8)
+    tw = mint_doc_ids(t, n_buckets=5)
+    rows = tw.select("conv_id", "turn_idx", "doc_id").collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == list(range(len(rows)))
+    by_key = sorted(rows, key=lambda r: (r.conv_id, r.turn_idx))
+    assert [r.doc_id for r in by_key] == list(range(len(rows)))
+
+
+def test_doc_id_mint_stable_under_repartition(spark):
+    from search_engine_spark.sources.transcripts import generate_transcripts
+    t = generate_transcripts(spark, n_convs=30, seed=9)
+    a = {(r.conv_id, r.turn_idx): r.doc_id
+         for r in mint_doc_ids(t.repartition(3), n_buckets=4).collect()}
+    b = {(r.conv_id, r.turn_idx): r.doc_id
+         for r in mint_doc_ids(t.repartition(11), n_buckets=4).collect()}
+    assert a == b

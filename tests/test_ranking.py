@@ -1,0 +1,90 @@
+"""Rank/score-identity gates (SURVEY.md §5.1, §5.4): Spark BM25 and
+SMART schemes vs the pure-Python oracle on the seeded tiny corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.functions.tokenize import term_counts
+from search_engine_spark.operators.index_build import (build_all, corpus_stats,
+                                                       doc_stats, term_stats)
+from search_engine_spark.operators.query import (bm25_topk,
+                                                 bm25_topk_from_index,
+                                                 query_terms_df, smart_topk,
+                                                 trec_export)
+from tests.oracle import OracleIndex
+
+QUERIES = [
+    ("q1", "a se moc"),
+    ("q2", "jsem jsem ten"),       # qtf>1
+    ("q3", "zzznothing"),           # full miss
+    ("q4", "hodne zzznothing"),     # partial miss
+    ("q5", "a"),                    # hottest term
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    tw, rows = tiny_corpus
+    tc, ds, ts_, idx, n_docs = build_all(tw)
+    tc = tc.cache()
+    oracle = OracleIndex(rows)
+    cs = corpus_stats(tw, ds)
+    return tw, tc, ds.cache(), ts_.cache(), idx.cache(), cs, oracle
+
+
+def _collect(res):
+    return {qid: [(r.doc_id, r.rank, r.score) for r in rows]
+            for qid, rows in _group(res.orderBy("qid", "rank").collect()).items()}
+
+
+def _group(rows):
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r.qid, []).append(r)
+    return out
+
+
+def _assert_rank_identical(got, oracle_fn, k):
+    for qid, title in QUERIES:
+        exp = oracle_fn(title, k)
+        g = got.get(qid, [])
+        assert [(d, r) for d, r, _ in g] == [(d, r) for d, r, _ in exp], \
+            f"{qid}: rank mismatch\n got {g}\n exp {exp}"
+        for (gd, gr, gs), (ed, er, es) in zip(g, exp):
+            assert math.isclose(gs, es, abs_tol=1e-6), f"{qid} doc {gd}: {gs} vs {es}"
+
+
+@pytest.mark.parametrize("k", [3, 10, 1000])
+def test_bm25_rank_identity(spark, built, k):
+    _, tc, ds, ts_, idx, cs, oracle = built
+    q = query_terms_df(spark, QUERIES)
+    got = _collect(bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=k))
+    _assert_rank_identical(got, oracle.bm25_topk, k)
+
+
+def test_bm25_index_path_rank_identity(spark, built):
+    _, tc, ds, ts_, idx, cs, oracle = built
+    q = query_terms_df(spark, QUERIES)
+    got = _collect(bm25_topk_from_index(idx, ds, q, cs["N"], cs["avgdl"], k=10))
+    _assert_rank_identical(got, oracle.bm25_topk, 10)
+
+
+@pytest.mark.parametrize("scheme", ["nnc.nnn", "nnn.nnn", "ltc.ltc", "ltu.nnn",
+                                    "bnc.ltc", "ann.nnn", "Ltu.nnn", "npc.ltc"])
+def test_smart_rank_identity(spark, built, scheme):
+    _, tc, ds, ts_, idx, cs, oracle = built
+    got = _collect(smart_topk(tc, ds, ts_, QUERIES, cs["N"], scheme=scheme, k=10))
+    _assert_rank_identical(got, lambda t, k: oracle.smart_topk(t, k, scheme), 10)
+
+
+def test_trec_export_format(spark, built):
+    _, tc, ds, ts_, idx, cs, oracle = built
+    q = query_terms_df(spark, [("q1", "a se")])
+    lines = [r.line for r in trec_export(
+        bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=3)).collect()]
+    assert len(lines) == 3
+    parts = lines[0].split()
+    assert len(parts) == 6 and parts[0] == "q1" and parts[1] == "0" and parts[5] == "spark-bm25"
