@@ -1,0 +1,555 @@
+"""Driver-contract query registry: Spark DataFrame builders + their
+DuckDB oracle SQL, side by side.
+
+Every entry runs over the driver testdata tables (documents,
+embeddings, events) so the DuckDB oracle can verify it. The documents
+table is mapped to the transcripts shape; its pre-minted ``doc_id`` is
+carried through (the engine's own doc_id mint is exercised in
+tests/test_index_build.py against synthetic transcripts).
+
+Oracle-parity rules used throughout (see conf.py):
+- identical tokenizer regex in Spark (Java regex) and DuckDB (RE2);
+- all hashes are md5-based (engine-portable), 60-bit ints via base-16
+  conversion;
+- every float that reaches the output is rounded (scores 6dp, cosines
+  4dp) and ranking happens on the ROUNDED value with doc_id/vec_id as
+  the tiebreak, so cross-engine summation-order ulps can't flip ranks;
+- DuckDB ``log(x)`` is log10 and Spark ``log(x)`` is ln — both sides
+  spell ``ln``/``log10`` explicitly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .conf import (BM25_B, BM25_K1, PIVOT, PIVOT_SLOPE, QUERY_SET, TOKEN_RE,
+                   load_stopwords)
+from .functions.tokenize import term_counts_sql, tokenize_py
+from .operators import dedup, similarity, textstats
+from .operators.index_build import (doc_stats, postings_blocked,
+                                    postings_salted, term_stats)
+from .operators.query import (bm25_topk, bm25_topk_from_index,
+                              query_terms_df, smart_topk)
+
+# ---------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------
+
+TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+tc AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl, sqrt(sum(tf*tf)) AS len_l2,
+              count(*)::BIGINT AS uniq, max(tf)::INT AS max_tf,
+              (sum(tf)::DOUBLE / count(*)) AS ave_tf
+       FROM tc GROUP BY doc_id),
+ts AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       FROM tc GROUP BY term)
+"""
+
+SHINGLE_CTE = f"""
+tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, l[i] || '_' || l[i+1] || '_' || l[i+2] AS shingle
+  FROM tokl, unnest(generate_series(1, greatest(len(l)-2, 0))) t(i)
+)
+"""
+
+
+def _qterms_values() -> str:
+    rows = []
+    for qid, title in QUERY_SET:
+        for term, qtf in sorted(Counter(tokenize_py(title)).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ",\n        ".join(rows)
+
+
+def _bm25_sql(k: int = 10) -> str:
+    one_minus_b = repr(1.0 - BM25_B)
+    return f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_counts_sql(_docs(spark, sf_dir))
+
+
+def _corpus(spark: SparkSession, sf_dir: str):
+    """(tc, ds, ts, n_docs, avgdl) — shared prelude for scoring queries."""
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    ts = term_stats(tc)
+    n_docs = docs.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    return tc, ds, ts, n_docs, avgdl
+
+
+# ---------------------------------------------------------------------
+# query builders (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------
+
+def q_term_stats(spark, sf_dir):
+    return term_stats(_tc(spark, sf_dir))
+
+
+def q_doc_stats(spark, sf_dir):
+    return doc_stats(_tc(spark, sf_dir)).select(
+        "doc_id", "dl", F.round("len_l2", 6).alias("len_l2"),
+        "uniq", "max_tf", F.round("ave_tf", 6).alias("ave_tf"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    n_docs = docs.count()
+    return ds.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    ).crossJoin(term_stats(tc).agg(F.count("*").cast("long").alias("vocab")))
+
+
+def q_postings(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    p = postings_salted(tc, docs.count(), salt_buckets=8)
+    return p.select("term", F.posexplode("postings").alias("pos0", "p")) \
+            .select("term", (F.col("pos0") + 1).cast("int").alias("pos"),
+                    F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+
+
+def q_bm25_topk_indexed(spark, sf_dir):
+    """Same result as q_bm25_topk but served from the persisted blocked
+    index layout (term/block rows → explode → score)."""
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    n_docs = docs.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    idx = postings_blocked(tc, n_docs, salt_buckets=8)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_topk_from_index(idx, ds, q, n_docs, avgdl, k=10)
+
+
+def q_smart_nnc(spark, sf_dir):
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="nnc.nnn", k=10)
+
+
+def q_smart_ltu(spark, sf_dir):
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="ltu.nnn", k=10)
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.count("*").cast("long").alias("n_dups"),
+                 F.min("doc_id").cast("long").alias("canonical_doc_id")))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n=3)
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return dedup.lsh_candidates(_docs(spark, sf_dir), n=3)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), bits=32, max_hamming=6)
+
+
+def q_embedding_topk(spark, sf_dir):
+    return similarity.brute_topk(_emb(spark, sf_dir), n_queries=5, k=5)
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=5, k=5, n_planes=8)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    # synthetic embeddings have no true near-dups (max same-bucket cosine
+    # ≈0.51 at sf0.01); 0.4 keeps the gate comparing nonzero rows
+    return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_planes=4)
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.text_quality(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts_report(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir), k=4).where(F.col("n_shingles") > 0)
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+          # cast gives the same epoch as DuckDB's naive-UTC epoch_us
+          .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (ev.withColumn("sess_no", F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")))
+    return (sess.groupBy("user_id", "sess_no")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------
+
+def oracle_sql_map() -> dict[str, str]:
+    stop_in = ", ".join(f"'{w}'" for w in sorted(load_stopwords()))
+    en_in = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+    one_minus_b = repr(1.0 - BM25_B)
+    pivot_c = repr((1.0 - PIVOT_SLOPE) * PIVOT)
+    sql: dict[str, str] = {}
+
+    sql["term_stats"] = f"WITH {TOK_CTE} SELECT term, df, cf FROM ts"
+
+    sql["doc_stats"] = f"""WITH {TOK_CTE}
+SELECT doc_id, dl, round(len_l2, 6) AS len_l2, uniq, max_tf,
+       round(ave_tf, 6) AS ave_tf FROM ds"""
+
+    sql["corpus_stats"] = f"""WITH {TOK_CTE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM ds)::BIGINT AS n_scored,
+       (SELECT sum(dl) FROM ds)::BIGINT AS total_tokens,
+       (SELECT round(avg(dl), 6) FROM ds) AS avgdl,
+       (SELECT count(*) FROM ts)::BIGINT AS vocab"""
+
+    sql["postings"] = f"""WITH {TOK_CTE}
+SELECT term,
+       (row_number() OVER (PARTITION BY term ORDER BY doc_id))::INT AS pos,
+       doc_id, tf
+FROM tc"""
+
+    sql["bm25_topk"] = _bm25_sql(k=10)
+    sql["bm25_topk_indexed"] = _bm25_sql(k=10)
+
+    sql["smart_nnc"] = f"""
+WITH {TOK_CTE},
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         (q.qtf::DOUBLE * 1.0) * ((tc.tf::DOUBLE * 1.0) / ds.len_l2) AS partial
+  FROM q JOIN tc USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score FROM hits GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["smart_ltu"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         (q.qtf::DOUBLE * 1.0) *
+         (((1.0 + log10(tc.tf::DOUBLE)) * log10((SELECT n FROM n) / ts.df::DOUBLE))
+          / ({PIVOT_SLOPE} * ds.uniq + {pivot_c})) AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score FROM hits GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_dups,
+       min(doc_id)::BIGINT AS canonical_doc_id
+FROM documents GROUP BY md5(text)"""
+
+    sql["dedup_jaccard"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b,
+         round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+    sql["minhash_signatures"] = f"""
+WITH {SHINGLE_CTE}
+SELECT doc_id, h::INT AS h,
+       min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+FROM sh, unnest(generate_series(0, {dedup.N_MINHASH - 1})) t(h)
+GROUP BY doc_id, h"""
+
+    sql["lsh_candidates"] = f"""
+WITH {SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, h::INT AS h,
+         min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+  FROM sh, unnest(generate_series(0, {dedup.N_MINHASH - 1})) t(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, (h // {dedup.N_MINHASH // dedup.N_BANDS})::INT AS band_no,
+         md5(string_agg(minhash, '|' ORDER BY h)) AS band_hash
+  FROM sig GROUP BY doc_id, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+
+    sql["simhash"] = f"""
+WITH {TOK_CTE},
+th AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tc),
+bits AS (
+  SELECT doc_id, b, sum(tf * (((h >> b) & 1) * 2 - 1)) AS s
+  FROM th, unnest(generate_series(0, 31)) t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id"""
+
+    sql["simhash_pairs"] = f"""
+WITH {TOK_CTE},
+th AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tc),
+bits AS (
+  SELECT doc_id, b, sum(tf * (((h >> b) & 1) * 2 - 1)) AS s
+  FROM th, unnest(generate_series(0, 31)) t(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+
+    sql["embedding_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT qid, vec_id, round(list_cosine_similarity(qv, cv), 4) AS cos
+  FROM q, c WHERE vec_id != qid
+),
+ranked AS (SELECT qid, vec_id, cos,
+                  (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id))::INT AS rank
+           FROM scored)
+SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5"""
+
+    bucket8 = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8))
+    bucket4 = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(4))
+    sql["embedding_lsh_topk"] = f"""
+WITH wb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   ({bucket8})::INT AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM wb WHERE vec_id < 5),
+scored AS (
+  SELECT qid, wb.vec_id, wb.bucket,
+         round(list_cosine_similarity(qv, wb.v), 4) AS cos
+  FROM q JOIN wb ON wb.bucket = q.qb AND wb.vec_id != q.qid
+),
+ranked AS (SELECT qid, vec_id, cos, bucket,
+                  (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id))::INT AS rank
+           FROM scored)
+SELECT qid, vec_id, rank, cos, bucket FROM ranked WHERE rank <= 5"""
+
+    sql["embedding_dup_pairs"] = f"""
+WITH wb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                   ({bucket4})::INT AS bucket FROM embeddings)
+SELECT a.id AS vec_a, b.id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.id < b.id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4"""
+
+    sql["text_quality"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(length(text), 0)::BIGINT AS n_chars,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS l,
+         coalesce(length(text), 0) - coalesce(length(regexp_replace(text, '[0-9]', '', 'g')), 0) AS n_digits
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, n_digits,
+         len(l)::BIGINT AS n_tokens,
+         len(list_distinct(l))::BIGINT AS n_uniq,
+         list_sum(list_transform(l, x -> length(x))) AS tok_chars,
+         len(list_filter(l, x -> x IN ({stop_in})))::BIGINT AS n_stop
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_uniq,
+       round(CASE WHEN n_tokens > 0 THEN tok_chars::DOUBLE / n_tokens ELSE 0.0 END, 6) AS avg_tok_len,
+       round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN n_digits::DOUBLE / n_chars ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN n_tokens > 0 THEN
+             least(1.0, n_tokens::DOUBLE / 64.0)
+             * (1.0 - CASE WHEN n_chars > 0 THEN n_digits::DOUBLE / n_chars ELSE 0.0 END)
+             * (n_uniq::DOUBLE / n_tokens)
+             ELSE 0.0 END, 6) AS quality
+FROM m"""
+
+    sql["lang_id"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS l
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(l) > 0
+              THEN len(list_filter(l, x -> x IN ({stop_in})))::DOUBLE / len(l)
+              ELSE 0.0 END AS cs_r,
+         CASE WHEN len(l) > 0
+              THEN len(list_filter(l, x -> x IN ({en_in})))::DOUBLE / len(l)
+              ELSE 0.0 END AS en_r
+  FROM m
+)
+SELECT doc_id, round(cs_r, 6) AS cs_ratio, round(en_r, 6) AS en_ratio,
+       CASE WHEN cs_r > en_r AND cs_r > 0.10 THEN 'cs'
+            WHEN en_r > 0.0 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM r"""
+
+    sql["token_counts"] = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                       x -> length(x) > 0))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS re_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))::BIGINT AS subword_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')))::BIGINT AS uniq_tokens
+FROM documents"""
+
+    sql["fingerprints"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+sh AS (
+  SELECT doc_id, md5(l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' || l[i+3]) AS hsh
+  FROM tokl, unnest(generate_series(1, greatest(len(l)-3, 0))) t(i)
+)
+SELECT doc_id, min(hsh) AS fp_min, max(hsh) AS fp_max, count(*)::BIGINT AS n_shingles
+FROM sh GROUP BY doc_id"""
+
+    sql["sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS sess_no
+  FROM flagged
+)
+SELECT user_id, sess_no, count(*)::BIGINT AS n_events,
+       min(epoch_us(ts))::BIGINT AS start_us, max(epoch_us(ts))::BIGINT AS end_us,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sess_no"""
+
+    return sql
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "term_stats": q_term_stats,
+    "doc_stats": q_doc_stats,
+    "corpus_stats": q_corpus_stats,
+    "postings": q_postings,
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_indexed": q_bm25_topk_indexed,
+    "smart_nnc": q_smart_nnc,
+    "smart_ltu": q_smart_ltu,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "sessionize": q_sessionize,
+}

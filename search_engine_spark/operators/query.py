@@ -44,12 +44,14 @@ def query_terms_df(spark: SparkSession, query_set: list[tuple[str, str]]) -> Dat
 
 
 def _bm25_idf(df_col, n_docs: int):
-    """Lucene-style always-positive idf (conf.py)."""
-    return F.log1p((F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+    """Lucene-style always-positive idf (conf.py). Spelled ln(1 + x)
+    (not log1p) so Spark, DuckDB oracle SQL and the Python oracle run
+    the bit-identical double operation sequence."""
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
 
 
 def bm25_idf_py(df: int, n_docs: int) -> float:
-    return math.log1p((n_docs - df + 0.5) / (df + 0.5))
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline tier: brute-force cosine top-k as the exact
+baseline, and a sign-LSH (axis-aligned hyperplane) bucketed variant as
+the scale path. All math stays JVM-side via higher-order array
+functions (zip_with / aggregate fold) in float64 — sequential left
+fold, so the DuckDB oracle's list functions reproduce it.
+
+Scale notes (100 TB / billions of vectors):
+- brute force is O(Q·N) — fine for small Q (broadcast the queries),
+  unusable for all-pairs; the LSH bucket join is the all-pairs path.
+- the bucket join is an equi-join on bucket id → shuffle-partitioned,
+  no broadcast of the corpus; skewed buckets are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+COS_DECIMALS = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: first `n_queries` vec_ids as queries vs the
+    rest of the corpus. Broadcast the tiny query side; ranking by
+    (round(cos,4) DESC, vec_id ASC) for cross-engine determinism.
+
+    Output: (qid, vec_id, rank, cos)."""
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), COS_DECIMALS).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "rank", "cos"))
+
+
+def sign_bucket(vec_col: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit i = (vec[i] > 0) over the first
+    n_planes axis-aligned hyperplanes. Deterministic, portable."""
+    out = F.lit(0)
+    for i in range(n_planes):
+        out = out + F.when(F.element_at(vec_col, i + 1) > 0,
+                           F.lit(2 ** i)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: candidates restricted to the query's sign-LSH bucket, exact
+    cosine within. Output (qid, vec_id, rank, cos, bucket).
+
+    At scale this is the IVF pattern: the bucket column is a partition
+    key on the vector table; a query probes one partition instead of
+    scanning the corpus (partition pruning does the work)."""
+    with_b = emb.select(F.col(id_col), F.col(vec_col),
+                        sign_bucket(F.col(vec_col), n_planes).alias("bucket"))
+    q = with_b.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qb"))
+    c = with_b.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+                      F.col("bucket"))
+    scored = (
+        c.join(F.broadcast(q), (F.col("bucket") == F.col("qb"))
+               & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", "bucket",
+                F.round(cosine(F.col("qv"), F.col("cv")), COS_DECIMALS).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "rank", "cos", "bucket"))
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold), bucketed by a
+    coarse sign-LSH so the self-join is per-bucket instead of all-pairs.
+    NOTE: bucketing makes this approximate (a near-dup pair straddling
+    a hyperplane is missed) — that IS the scale contract; the oracle
+    replicates the same bucketing. Output (vec_a, vec_b, cos)."""
+    with_b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                        sign_bucket(F.col(vec_col), n_planes).alias("bucket"))
+    a, b = with_b.alias("a"), with_b.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), COS_DECIMALS).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Text analysis for the training-data pipeline tier: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM column expressions (no UDFs) built on the frozen tokenizer
+contract; every metric is reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..conf import load_stopwords
+from ..functions.tokenize import tokens_col
+
+# Tiny frozen English function-word list for the lang-ID heuristic.
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+
+def text_quality(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality metrics:
+    n_chars, n_tokens, n_uniq, avg_tok_len, stopword_ratio (reference
+    37-word list), digit_ratio, and a composite quality score in [0,1]
+    (length-normalized, penalizing digit noise and low lexical
+    diversity). All ratios rounded to 6dp for oracle parity."""
+    toks = tokens_col(text_col)
+    stop = sorted(load_stopwords())
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    tok_chars = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                            F.lit(0), lambda a, v: a + v)
+    n_chars = F.coalesce(F.length(text_col), F.lit(0))
+    n_digits = n_chars - F.coalesce(
+        F.length(F.regexp_replace(text_col, "[0-9]", "")), F.lit(0))
+    uniq = F.size(F.array_distinct(toks))
+    has = n_tok > 0
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        uniq.cast("long").alias("n_uniq"),
+        F.round(F.when(has, tok_chars.cast("double") / n_tok).otherwise(0.0), 6).alias("avg_tok_len"),
+        F.round(F.when(has, n_stop.cast("double") / n_tok).otherwise(0.0), 6).alias("stopword_ratio"),
+        F.round(F.when(n_chars > 0, n_digits.cast("double") / n_chars).otherwise(0.0), 6).alias("digit_ratio"),
+        F.round(
+            F.when(has,
+                   F.least(F.lit(1.0), n_tok.cast("double") / 64.0)
+                   * (1.0 - F.when(n_chars > 0, n_digits.cast("double") / n_chars).otherwise(0.0))
+                   * (uniq.cast("double") / n_tok)
+                   ).otherwise(0.0), 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Heuristic n-gram/function-word language ID: 'cs' if the Czech
+    stopword hit-ratio dominates, 'en' if the English one does, else
+    'unk'. (The real corpus is synthetic English; the Czech list is
+    the reference's 37-word fixture — the point is the operator shape:
+    a broadcast-free pure-column classifier.)"""
+    toks = tokens_col(text_col)
+    cs = sorted(load_stopwords())
+    n_tok = F.size(toks)
+    cs_r = F.when(n_tok > 0,
+                  F.size(F.filter(toks, lambda t: t.isin(*cs))).cast("double") / n_tok
+                  ).otherwise(0.0)
+    en_r = F.when(n_tok > 0,
+                  F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("double") / n_tok
+                  ).otherwise(0.0)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.round(cs_r, 6).alias("cs_ratio"),
+        F.round(en_r, 6).alias("en_ratio"),
+        F.when((cs_r > en_r) & (cs_r > 0.10), "cs")
+         .when(en_r > 0.0, "en").otherwise("unk").alias("lang_pred"),
+    )
+
+
+def token_counts_report(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Token counting three ways per doc: whitespace split, the frozen
+    regex tokenizer, and a BPE-ish subword proxy (regex splitting on
+    character-class transitions — letters / digits / other), plus
+    distinct-token count."""
+    toks = tokens_col(text_col)
+    ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                  lambda t: F.length(t) > 0)
+    bpe = F.coalesce(
+        F.regexp_extract_all(F.lower(text_col),
+                             F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), 0),
+        F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(toks).cast("long").alias("re_tokens"),
+        F.size(bpe).cast("long").alias("subword_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("uniq_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, k: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style document fingerprint: min and max md5 over token
+    k-gram shingles (rolling-hash analogue, md5 for engine
+    portability). Identical fp_min ⇒ near-certain shared k-gram;
+    (fp_min, fp_max) pairs are cheap join keys for corpus-level
+    containment checks."""
+    from .dedup import _shingle_array
+    sh = _shingle_array(text_col, k)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )

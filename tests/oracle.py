@@ -56,7 +56,7 @@ class OracleIndex:
     # --- BM25 ----------------------------------------------------------
     def idf(self, term: str) -> float:
         df = self.df.get(term, 0)
-        return math.log1p((self.N - df + 0.5) / (df + 0.5))
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
     def bm25_topk(self, title: str, k: int,
                   k1: float = BM25_K1, b: float = BM25_B) -> list[tuple[int, int, float]]:
