@@ -40,12 +40,18 @@ REP = int(os.environ.get("BENCH_REPLICATION", "40"))
 N_REPEAT = int(os.environ.get("BENCH_QUERY_REPEATS", "5"))
 
 
-def replicated_transcripts(spark, sf_dir: str, rep: int):
+def replicated_transcripts(spark, sf_dir: str, rep: int, partitions: int = 64):
     """Deterministic corpus scale-up: documents × rep (distinct doc_ids),
-    all Spark-side (no driver loop)."""
+    all Spark-side (no driver loop).
+
+    The sf parquet is a single small file → ONE input partition; the
+    repartition before the explode is what actually spreads the corpus
+    across the executor threads (a real 100 TB table arrives in
+    thousands of file splits and doesn't need this)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n = docs.count()
-    return (docs.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+    return (docs.repartition(partitions)
+            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
             .select((F.col("doc_id") + F.col("r") * n).alias("doc_id"), "text"),
             n * rep)
 
@@ -61,7 +67,7 @@ def main() -> None:
 
     # --- index build -----------------------------------------------------
     t0 = time.time()
-    corpus, n_turns = replicated_transcripts(spark, sf_dir, REP)
+    corpus, n_turns = replicated_transcripts(spark, sf_dir, REP, partitions=cpus * 2)
     tc = term_counts(corpus)
     ds = doc_stats(tc)
     idx = postings_blocked(tc, n_turns)

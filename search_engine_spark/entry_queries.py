@@ -175,6 +175,41 @@ def q_bm25_topk_indexed(spark, sf_dir):
     return bm25_topk_from_index(idx, ds, q, n_docs, avgdl, k=10)
 
 
+def q_wand_topk(spark, sf_dir):
+    """Block-max pruned BM25 (operators/wand.py) — rank/score-identical
+    to bm25_topk, gated by the same SQL oracle."""
+    from .operators.wand import wand_topk
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    n_docs = docs.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    q = query_terms_df(spark, QUERY_SET)
+    return wand_topk(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
+
+
+def q_bm25_topk_varbyte(spark, sf_dir):
+    """BM25 served through the FULL compressed path: blocked index →
+    delta-gap+varbyte encode → decode → score. Same oracle as
+    bm25_topk, so the codec round-trip sits inside the value gate."""
+    from .functions.codec import decoded_postings_long, encode_index
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    n_docs = docs.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    enc = encode_index(postings_blocked(tc, n_docs, salt_buckets=8))
+    q = query_terms_df(spark, QUERY_SET)
+    # prune blocks by term BEFORE decoding (skipped blocks never decode)
+    pruned = enc.join(F.broadcast(q.select("term").distinct()), "term", "leftsemi")
+    flat = decoded_postings_long(pruned)
+    return bm25_topk_from_index(
+        flat.groupBy("term", "df").agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings")),
+        ds, q, n_docs, avgdl, k=10)
+
+
 def q_smart_nnc(spark, sf_dir):
     tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
     return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="nnc.nnn", k=10)
@@ -292,6 +327,8 @@ FROM tc"""
 
     sql["bm25_topk"] = _bm25_sql(k=10)
     sql["bm25_topk_indexed"] = _bm25_sql(k=10)
+    sql["wand_topk"] = _bm25_sql(k=10)
+    sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
 
     sql["smart_nnc"] = f"""
 WITH {TOK_CTE},
@@ -536,6 +573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings": q_postings,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_indexed": q_bm25_topk_indexed,
+    "wand_topk": q_wand_topk,
+    "bm25_topk_varbyte": q_bm25_topk_varbyte,
     "smart_nnc": q_smart_nnc,
     "smart_ltu": q_smart_ltu,
     "dedup_exact": q_dedup_exact,

@@ -42,9 +42,12 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
-def _shingle_array(text_col: str, n: int) -> Column:
-    """Token n-gram shingles joined by '_' (ASCII tokenizer contract)."""
-    toks = tokens_col(text_col)
+def _shingles_from(toks: Column, n: int) -> Column:
+    """Token n-gram shingles joined by '_' over an already-materialized
+    token-array COLUMN (must be a plain column reference, not the
+    tokenizer expression — Catalyst does no common-subexpression
+    elimination inside lambda bodies, so inlining the regex here would
+    re-tokenize every row n+2 times)."""
     idx = F.when(F.size(toks) >= n,
                  F.sequence(F.lit(1), F.size(toks) - (n - 1))
                  ).otherwise(F.array().cast("array<int>"))
@@ -54,11 +57,18 @@ def _shingle_array(text_col: str, n: int) -> Column:
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) — distinct token n-grams per doc."""
+    """(doc_id, shingle) — distinct token n-grams per doc.
+
+    Tokenizes once into a column, dedups per-doc with array_distinct
+    BEFORE exploding (map-side; shrinks the shuffle), then a global
+    distinct is unnecessary — array_distinct already is per-doc and
+    (doc_id, shingle) is unique after it."""
     return (
         docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.explode(_shingle_array(text_col, n)).alias("shingle"))
-        .distinct()
+                    tokens_col(text_col).alias("_toks"))
+        .select("doc_id",
+                F.explode(F.array_distinct(_shingles_from(F.col("_toks"), n)))
+                .alias("shingle"))
     )
 
 
@@ -100,43 +110,73 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     """(doc_id, h, minhash) — MinHash via the portable min-md5 trick:
     hash function h applied to shingle s is the STRING md5(h || ':' || s);
     the signature component is the lexicographic min. Deterministic and
-    bit-identical in Spark / DuckDB / Python (no engine hash involved)."""
+    bit-identical in Spark / DuckDB / Python (no engine hash involved).
+
+    All n_hashes minima are computed in ONE groupBy(doc_id) with
+    n_hashes agg columns — no ×n_hashes row explosion through the
+    shuffle (partial min aggregation is map-side, so shuffled bytes are
+    n_hashes × n_docs tiny rows, not n_hashes × n_shingles)."""
     sh = shingles(docs, n)
-    hs = sh.select(
-        "doc_id", "shingle",
-        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("h"))
-    return (
-        hs.groupBy("doc_id", "h")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("h").cast("string"),
-                                     F.col("shingle")))).alias("minhash"))
-    )
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
+        .alias(f"m{i}") for i in range(n_hashes)])
+    sig = F.array(*[F.struct(F.lit(i).alias("h"), F.col(f"m{i}").alias("minhash"))
+                    for i in range(n_hashes)])
+    return (mins.select("doc_id", F.explode(sig).alias("s"))
+            .select("doc_id", F.col("s.h").cast("int").alias("h"), "s.minhash"))
+
+
+def lsh_bands(docs: DataFrame, n: int = 3, n_hashes: int = N_MINHASH,
+              n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band_no, band_hash) — band hash = md5 of the '|'-joined
+    minhash components of that band, computed straight off the wide
+    one-row-per-doc signature (no per-(doc,band) second aggregation)."""
+    rows_per_band = n_hashes // n_bands
+    sh = shingles(docs, n)
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
+        .alias(f"m{i}") for i in range(n_hashes)])
+    bands = F.array(*[
+        F.struct(
+            F.lit(k).alias("band_no"),
+            F.md5(F.concat_ws("|", *[F.col(f"m{k * rows_per_band + j}")
+                                     for j in range(rows_per_band)])).alias("band_hash"))
+        for k in range(n_bands)])
+    return (mins.select("doc_id", F.explode(bands).alias("b"))
+            .select("doc_id", F.col("b.band_no").cast("int").alias("band_no"),
+                    "b.band_hash"))
 
 
 def lsh_candidates(docs: DataFrame, n: int = 3, n_hashes: int = N_MINHASH,
-                   n_bands: int = N_BANDS) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs sharing any band
-    (band = md5 of the concatenated signature rows in that band).
-    Output (doc_a, doc_b) distinct, doc_a < doc_b. This is the scale
-    path that replaces the quadratic shingle self-join: the only join
-    is an equi-join on (band_no, band_hash)."""
-    rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(docs, n, n_hashes)
-    bands = (
-        sig.withColumn("band_no", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_no")
-        # array_sort orders by h implicitly via sort on (h, minhash) struct
-        .agg(F.md5(F.concat_ws("|", F.transform(
-            F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-            lambda s: s["minhash"]))).alias("band_hash"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+                   n_bands: int = N_BANDS,
+                   max_bucket_size: int | None = None) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band.
+    Output (doc_a, doc_b) distinct, doc_a < doc_b.
+
+    Scale shape: ONE groupBy on (band_no, band_hash) collecting the
+    bucket's doc_ids, then in-bucket pair expansion with array
+    combinatorics — no self-join, so the signature pipeline is computed
+    once (a self-join would recompute the whole upstream for each
+    side). A bucket of size s yields s·(s−1)/2 pairs; at 100 TB a hot
+    bucket (boilerplate docs) is quadratic, so `max_bucket_size` drops
+    buckets above the cap (standard LSH practice; None = exact, used by
+    the oracle gate)."""
+    bands = lsh_bands(docs, n, n_hashes, n_bands)
+    buckets = (bands.groupBy("band_no", "band_hash")
+               .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    ids = F.col("ids")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(ids) - 2),
+        lambda i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda b: F.struct(F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
+                               b.alias("doc_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -166,9 +206,8 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
-    All-pairs here (oracle-exact); at scale, block by fingerprint
-    bytes (pigeonhole: ≤3 differing bits over 4 blocks ⇒ one block
-    equal) to turn this into an equi-join."""
+    All-pairs cross join (oracle-exact gate path); use
+    `simhash_pairs_banded` at scale."""
     s = simhash(docs, bits)
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -178,3 +217,45 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> Data
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 ham.cast("int").alias("hamming"))
     )
+
+
+def simhash_pairs_banded(docs: DataFrame, bits: int = 32,
+                         max_hamming: int = 3) -> DataFrame:
+    """Scale path for simhash_pairs — identical output, no cross join.
+
+    Pigeonhole: split the fingerprint into max_hamming+1 bit blocks;
+    any pair within hamming ≤ max_hamming agrees on at least one whole
+    block. Candidates = docs sharing (block_no, block_bits) — generated
+    with the same bucket-groupBy shape as lsh_candidates (no self-join)
+    — then exact hamming verify via an equi-join back to the (tiny,
+    one-row-per-doc) fingerprint table."""
+    n_blocks = max_hamming + 1
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    s = simhash(docs, bits)
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("block_no"),
+                 F.shiftright(F.col("simhash"), offs[i])
+                 .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("block_bits"))
+        for i in range(n_blocks)])
+    bdf = s.select("doc_id", F.explode(blocks).alias("b")) \
+           .select("doc_id", "b.block_no", "b.block_bits")
+    buckets = (bdf.groupBy("block_no", "block_bits")
+               .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    ids = F.col("ids")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(ids) - 2),
+        lambda i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda b: F.struct(F.element_at(ids, (i + 1).cast("int")).alias("doc_a"),
+                               b.alias("doc_b")))))
+    cand = (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b").distinct())
+    fa = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+    fb = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (cand.join(fa, "doc_a").join(fb, "doc_b")
+            .where(ham <= max_hamming)
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))

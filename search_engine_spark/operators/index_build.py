@@ -116,7 +116,8 @@ def postings_salted(tc: DataFrame, n_docs: int, salt_buckets: int = SALT_BUCKETS
 
 def postings_blocked(tc: DataFrame, n_docs: int,
                      salt_buckets: int = SALT_BUCKETS,
-                     block: int = POSTING_BLOCK) -> DataFrame:
+                     block: int = POSTING_BLOCK,
+                     ds: DataFrame | None = None) -> DataFrame:
     """Scale-path index layout: one row per (term, block_no) with ≤
     ``block`` postings + block-max skip metadata (R8 prerequisite —
     the reference only *hints* at this, src/invertedIndex.py:308-311).
@@ -131,13 +132,26 @@ def postings_blocked(tc: DataFrame, n_docs: int,
 
     df/cf are per-term totals repeated on each block row (they ride
     along to avoid a second dictionary join at query time).
+
+    If ``ds`` (doc_stats) is given, each posting carries the document
+    length inline — struct<doc_id,tf,dl> — and block metadata adds
+    ``block_min_dl``. Denormalizing dl into the posting (Lucene calls
+    this the norms channel) removes the scored-hits ⨝ doc_stats join
+    from the BM25 query path entirely and gives block-max WAND an exact
+    per-block score upper bound: score(block_max_tf, block_min_dl).
+    Cost: one extra varbyte per posting on disk — the standard trade.
     """
     span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
+    if ds is not None:
+        tc = tc.join(ds.select("doc_id", "dl"), "doc_id")
+        posting = F.struct("doc_id", "tf", "dl")
+    else:
+        posting = F.struct("doc_id", "tf")
     runs = (
         tc.withColumn("_salt", (F.col("doc_id") / F.lit(span)).cast("int"))
         .groupBy("term", "_salt")
         .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("run"),
+            F.sort_array(F.collect_list(posting)).alias("run"),
             F.count("*").cast("long").alias("run_df"),
             F.sum("tf").cast("long").alias("run_cf"),
         )
@@ -163,12 +177,17 @@ def postings_blocked(tc: DataFrame, n_docs: int,
         (F.col("_blocks_before") + F.col("_chunk")).cast("long").alias("block_no"),
         F.slice("run", F.col("_chunk") * block + 1, block).alias("postings"),
     )
-    return chunked.select(
+    out = chunked.select(
         "term", "block_no", "df", "cf", "postings",
         F.col("postings")[0]["doc_id"].alias("first_doc_id"),
         F.element_at("postings", -1)["doc_id"].alias("last_doc_id"),
         F.array_max(F.transform("postings", lambda p: p["tf"])).alias("block_max_tf"),
     )
+    if ds is not None:
+        out = out.withColumn(
+            "block_min_dl",
+            F.array_min(F.transform("postings", lambda p: p["dl"])))
+    return out
 
 
 def build_all(transcripts_with_ids: DataFrame, use_arrow_tokenizer: bool = True):

@@ -1,0 +1,83 @@
+"""Block-max WAND gates (SURVEY.md §5.3, M4): the pruned scorer must be
+rank- AND score-identical to exhaustive TAAT BM25 on the same index —
+including tie, miss, and hot-term queries — and must actually prune."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.functions.tokenize import term_counts
+from search_engine_spark.operators.index_build import (corpus_stats, doc_stats,
+                                                       postings_blocked,
+                                                       term_stats)
+from search_engine_spark.operators.query import bm25_topk, query_terms_df
+from search_engine_spark.operators import wand
+
+QUERIES = [
+    ("q1", "a se moc"),
+    ("q2", "jsem jsem ten"),       # qtf>1
+    ("q3", "zzznothing"),           # full miss
+    ("q4", "hodne zzznothing"),     # partial miss
+    ("q5", "a"),                    # hottest (stopword-skew) term
+    ("q6", "a se na je to co jsem"),  # many hot terms
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus):
+    tw, _ = tiny_corpus
+    tc = term_counts(tw).cache()
+    ds = doc_stats(tc).cache()
+    ts_ = term_stats(tc).cache()
+    cs = corpus_stats(tw, ds)
+    idx_dl = postings_blocked(tc, cs["N"], salt_buckets=4, block=16, ds=ds).cache()
+    return tc, ds, ts_, idx_dl, cs
+
+
+def _rows(df):
+    return sorted((r.qid, r.rank, r.doc_id, round(r.score, 6))
+                  for r in df.collect())
+
+
+@pytest.mark.parametrize("k", [1, 3, 10, 100])
+def test_wand_equals_taat(spark, built, k):
+    tc, ds, ts_, idx_dl, cs = built
+    q = query_terms_df(spark, QUERIES)
+    exhaustive = bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=k)
+    pruned = wand.wand_topk(idx_dl, q, cs["N"], cs["avgdl"], k=k,
+                            salt_buckets=4, n_segments=16)
+    assert _rows(pruned) == _rows(exhaustive)
+
+
+def test_wand_segment_granularities(spark, built):
+    """Pruning must be correct at any segment width (1 segment = no
+    intra-range pruning; many = fine-grained)."""
+    tc, ds, ts_, idx_dl, cs = built
+    q = query_terms_df(spark, QUERIES[:3])
+    base = None
+    for n_segments in (1, 4, 64, 1024):
+        got = _rows(wand.wand_topk(idx_dl, q, cs["N"], cs["avgdl"], k=5,
+                                   salt_buckets=4, n_segments=n_segments))
+        if base is None:
+            base = got
+        assert got == base, f"n_segments={n_segments} diverged"
+
+
+def test_wand_block_bounds_are_upper_bounds(spark, built):
+    """Every posting's true BM25 term score ≤ its block's ub."""
+    tc, ds, ts_, idx_dl, cs = built
+    k1, b = 1.2, 0.75
+    avgdl = cs["avgdl"]
+    n = cs["N"]
+    rows = idx_dl.select(
+        "df", "postings", "block_max_tf", "block_min_dl").collect()
+    for r in rows:
+        idf = math.log(1.0 + (n - r.df + 0.5) / (r.df + 0.5))
+        ub = idf * (r.block_max_tf * (k1 + 1.0)
+                    / (r.block_max_tf + k1 * (1.0 - b + b * r.block_min_dl / avgdl)))
+        for p in r.postings:
+            s = idf * (p.tf * (k1 + 1.0)
+                       / (p.tf + k1 * (1.0 - b + b * p.dl / avgdl)))
+            assert s <= ub + 1e-12
