@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Index-build entrypoint (E1 of SURVEY.md §3; reference analogue
+`python3 invertedIndex.py <runId> -b[t]`, /root/reference/src/run).
+
+Local:        python3 build.py --input <transcripts.parquet> --out /tmp/idx
+Cluster:      spark-submit --py-files search_engine_spark.zip build.py \
+                  --input <iceberg-or-parquet path> --format iceberg \
+                  --out <warehouse path>
+
+Resumable: re-running with the same --out skips committed stages
+(drop --resume to force a clean rebuild). Per-stage metrics land in
+<out>/_metrics/metrics.jsonl.
+
+The input must have the transcripts shape (conv_id, turn_idx, role,
+text, tool, ts); --synthetic N generates a seeded corpus instead (for
+smoke runs without data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Build the inverted index")
+    ap.add_argument("--input", help="transcripts table path")
+    ap.add_argument("--format", default="parquet", help="parquet|iceberg")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N seeded conversations instead of --input")
+    ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-compress", action="store_true")
+    ap.add_argument("--salt-buckets", type=int, default=None)
+    ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[N] threads (ignored under spark-submit --master)")
+    args = ap.parse_args()
+
+    from search_engine_spark.conf import POSTING_BLOCK, SALT_BUCKETS
+    from search_engine_spark.operators.docids import mint_doc_ids
+    from search_engine_spark.plans.build_driver import build_index_checkpointed
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.transcripts import (generate_transcripts,
+                                                         read_transcripts)
+
+    spark = get_spark(app="index-build", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    if args.synthetic:
+        t = generate_transcripts(spark, n_convs=args.synthetic,
+                                 partitions=spark.sparkContext.defaultParallelism)
+    elif args.input:
+        t = read_transcripts(spark, args.input, fmt=args.format)
+    else:
+        ap.error("need --input or --synthetic")
+    tw = mint_doc_ids(t)
+    res = build_index_checkpointed(
+        spark, tw, args.out, resume=not args.no_resume,
+        compress=not args.no_compress,
+        salt_buckets=args.salt_buckets or SALT_BUCKETS,
+        block=args.block or POSTING_BLOCK)
+    keep = {"stage", "status", "rows", "duration_s"}
+    print(json.dumps({"out": res.out_dir,
+                      "stages": [{k: v for k, v in m.items() if k in keep}
+                                 for m in res.metrics]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

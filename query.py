@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Query entrypoint (E2 of SURVEY.md §3; reference analogue
+`python3 invertedIndex.py <runId> -q ddd qqq k topics docs out`).
+
+    python3 query.py --index /tmp/idx --query "spark join" --k 10
+    python3 query.py --index /tmp/idx --topics topics.tsv --mode wand \
+        --trec-out results.txt
+
+--topics is a TSV of `qid<TAB>title` lines (the reference's topic file
+equivalent). --mode taat = exhaustive scoring; wand = block-max pruned
+(identical results, property-gated). Output: qid doc_id rank score (+
+TREC run file with --trec-out, format `qid 0 docid rank score runId`,
+reference src/invertedIndex.py:293-296).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Top-k BM25 query")
+    ap.add_argument("--index", required=True, help="build output directory")
+    ap.add_argument("--query", action="append", default=[],
+                    help="query title (repeatable); qid auto-assigned")
+    ap.add_argument("--topics", help="TSV file of qid<TAB>title")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=("taat", "wand"), default="wand")
+    ap.add_argument("--trec-out", help="write TREC run lines here")
+    ap.add_argument("--run-id", default="spark-bm25")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from search_engine_spark.operators.query import (bm25_topk_from_index,
+                                                     query_terms_df,
+                                                     trec_export)
+    from search_engine_spark.operators.wand import wand_topk
+    from search_engine_spark.plans.build_driver import open_index
+    from search_engine_spark.session import get_spark
+
+    queries: list[tuple[str, str]] = []
+    if args.topics:
+        with open(args.topics, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    qid, title = line.split("\t", 1)
+                    queries.append((qid, title))
+    for i, q in enumerate(args.query):
+        queries.append((f"q{i + 1:03d}", q))
+    if not queries:
+        ap.error("need --query or --topics")
+
+    spark = get_spark(app="index-query", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    ix = open_index(spark, args.index)
+    qterms = query_terms_df(spark, queries)
+    blocked = ix.postings_blocked()
+    if args.mode == "wand" and ix.inline_dl:
+        res = wand_topk(blocked, qterms, ix.n_docs, ix.avgdl, k=args.k,
+                        salt_buckets=ix.salt_buckets)
+    else:
+        res = bm25_topk_from_index(blocked, ix.doc_stats, qterms,
+                                   ix.n_docs, ix.avgdl, k=args.k)
+    rows = res.orderBy("qid", "rank").collect()
+    for r in rows:
+        print(f"{r.qid}\t{r.doc_id}\t{r.rank}\t{r.score}")
+    if args.trec_out:
+        lines = [r.line for r in
+                 trec_export(res, run_id=args.run_id).orderBy("line").collect()]
+        with open(args.trec_out, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -210,6 +210,16 @@ def q_bm25_topk_varbyte(spark, sf_dir):
         ds, q, n_docs, avgdl, k=10)
 
 
+def q_tiered_topk(spark, sf_dir):
+    """Tiered (title-prefix tier 0 → body tier 1) BM25 with < k
+    fallthrough and cross-tier score merge (operators/tiered.py)."""
+    from .operators.tiered import tiered_topk
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    q = query_terms_df(spark, QUERY_SET)
+    return tiered_topk(docs, q, n_docs, k=10)
+
+
 def q_smart_nnc(spark, sf_dir):
     tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
     return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="nnc.nnn", k=10)
@@ -329,6 +339,58 @@ FROM tc"""
     sql["bm25_topk_indexed"] = _bm25_sql(k=10)
     sql["wand_topk"] = _bm25_sql(k=10)
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
+
+    sql["tiered_topk"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+tc0 AS (SELECT doc_id, term, count(*)::INT AS tf
+        FROM (SELECT doc_id, unnest(l[1:8]) AS term FROM tokl) GROUP BY 1, 2),
+tc1 AS (SELECT doc_id, term, count(*)::INT AS tf
+        FROM (SELECT doc_id, unnest(l[9:]) AS term FROM tokl WHERE len(l) > 8)
+        GROUP BY 1, 2),
+ds0 AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tc0 GROUP BY 1),
+ds1 AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tc1 GROUP BY 1),
+ts0 AS (SELECT term, count(*)::DOUBLE AS df FROM tc0 GROUP BY 1),
+ts1 AS (SELECT term, count(*)::DOUBLE AS df FROM tc1 GROUP BY 1),
+a0 AS (SELECT coalesce(avg(dl), 1.0) AS avgdl FROM ds0),
+a1 AS (SELECT coalesce(avg(dl), 1.0) AS avgdl FROM ds1),
+s0 AS (
+  SELECT q.qid, tc0.doc_id,
+         sum(q.qtf * ln(1.0 + ((SELECT n FROM n) - ts0.df + 0.5) / (ts0.df + 0.5))
+             * (tc0.tf * ({BM25_K1} + 1.0))
+               / (tc0.tf + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds0.dl / (SELECT avgdl FROM a0)))
+         ) AS score
+  FROM q JOIN tc0 USING (term) JOIN ts0 USING (term) JOIN ds0 USING (doc_id)
+  GROUP BY 1, 2
+),
+s1 AS (
+  SELECT q.qid, tc1.doc_id,
+         sum(q.qtf * ln(1.0 + ((SELECT n FROM n) - ts1.df + 0.5) / (ts1.df + 0.5))
+             * (tc1.tf * ({BM25_K1} + 1.0))
+               / (tc1.tf + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds1.dl / (SELECT avgdl FROM a1)))
+         ) AS score
+  FROM q JOIN tc1 USING (term) JOIN ts1 USING (term) JOIN ds1 USING (doc_id)
+  GROUP BY 1, 2
+),
+need AS (
+  SELECT qid FROM (SELECT DISTINCT qid FROM q) qq
+  WHERE (SELECT count(*) FROM s0 WHERE s0.qid = qq.qid) < 10
+),
+merged AS (
+  SELECT qid, doc_id, round(sum(score), 6) AS score FROM (
+    SELECT * FROM s0
+    UNION ALL
+    SELECT s1.* FROM s1 JOIN need USING (qid)
+  ) GROUP BY 1, 2
+),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM merged)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
     sql["smart_nnc"] = f"""
 WITH {TOK_CTE},
@@ -575,6 +637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "wand_topk": q_wand_topk,
     "bm25_topk_varbyte": q_bm25_topk_varbyte,
+    "tiered_topk": q_tiered_topk,
     "smart_nnc": q_smart_nnc,
     "smart_ltu": q_smart_ltu,
     "dedup_exact": q_dedup_exact,

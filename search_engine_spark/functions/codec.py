@@ -77,24 +77,34 @@ def varbyte_decode(buf: np.ndarray) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
-    """One posting block → bytes: varbyte(n) + varbyte(gaps) + varbyte(tfs).
-    doc_ids must be strictly ascending (delta-gap precondition, O2)."""
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                 dls: np.ndarray | None = None) -> bytes:
+    """One posting block → bytes:
+    varbyte(n) + varbyte(gaps) + varbyte(tfs) [+ varbyte(dls)].
+    doc_ids must be strictly ascending (delta-gap precondition, O2).
+    The optional third stream is the inline per-posting doc length
+    (the norms channel of postings_blocked(..., ds=...))."""
     d = np.asarray(doc_ids, dtype=np.uint64)
     t = np.asarray(tfs, dtype=np.uint64)
     gaps = np.diff(d, prepend=np.uint64(0))
     header = varbyte_encode(np.array([d.size], dtype=np.uint64))
-    return (header.tobytes() + varbyte_encode(gaps).tobytes()
-            + varbyte_encode(t).tobytes())
+    out = (header.tobytes() + varbyte_encode(gaps).tobytes()
+           + varbyte_encode(t).tobytes())
+    if dls is not None:
+        out += varbyte_encode(np.asarray(dls, dtype=np.uint64)).tobytes()
+    return out
 
 
-def decode_block(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """bytes → (doc_ids int64, tfs int64)."""
+def decode_block(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """bytes → (doc_ids int64, tfs int64, dls int64 | None).
+    The dl stream's presence is inferred from the value count
+    (2n vs 3n payload values after the header)."""
     vals = varbyte_decode(np.frombuffer(buf, dtype=np.uint8))
     n = int(vals[0])
     gaps = vals[1:1 + n]
-    tfs = vals[1 + n:1 + 2 * n]
-    return np.cumsum(gaps, dtype=np.uint64).astype(np.int64), tfs.astype(np.int64)
+    tfs = vals[1 + n:1 + 2 * n].astype(np.int64)
+    dls = vals[1 + 2 * n:1 + 3 * n].astype(np.int64) if vals.size >= 1 + 3 * n and n > 0 else None
+    return np.cumsum(gaps, dtype=np.uint64).astype(np.int64), tfs, dls
 
 
 # --- Spark surface ----------------------------------------------------
@@ -107,45 +117,68 @@ def encode_postings_udf(doc_ids: pd.Series, tfs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(T.BinaryType())
+def encode_postings_dl_udf(doc_ids: pd.Series, tfs: pd.Series,
+                           dls: pd.Series) -> pd.Series:
+    """Three-stream variant carrying the inline doc-length norms."""
+    out = [encode_block(np.asarray(d, dtype=np.uint64),
+                        np.asarray(t, dtype=np.uint64),
+                        np.asarray(l, dtype=np.uint64))
+           for d, t, l in zip(doc_ids, tfs, dls)]
+    return pd.Series(out)
+
+
 _DECODED = T.StructType([
     T.StructField("doc_ids", T.ArrayType(T.LongType()), False),
     T.StructField("tfs", T.ArrayType(T.LongType()), False),
+    T.StructField("dls", T.ArrayType(T.LongType()), True),
 ])
 
 
 @pandas_udf(_DECODED)
 def decode_postings_udf(enc: pd.Series) -> pd.DataFrame:
-    """binary → struct<doc_ids array<long>, tfs array<long>>."""
-    ids, tfs = [], []
+    """binary → struct<doc_ids, tfs, dls array<long>> (dls null when
+    the block was encoded without the norms stream)."""
+    ids, tfs, dls = [], [], []
     for buf in enc:
-        d, t = decode_block(bytes(buf))
+        d, t, l = decode_block(bytes(buf))
         ids.append(d.tolist())
         tfs.append(t.tolist())
-    return pd.DataFrame({"doc_ids": ids, "tfs": tfs})
+        dls.append(l.tolist() if l is not None else None)
+    return pd.DataFrame({"doc_ids": ids, "tfs": tfs, "dls": dls})
 
 
 def encode_index(blocked: DataFrame) -> DataFrame:
-    """Blocked index (postings array<struct<doc_id,tf>>) → compressed
-    layout with `postings_enc binary` replacing the struct array.
-    Keeps term/block metadata columns untouched (they are the skip
-    index — readable without decoding)."""
+    """Blocked index (postings array<struct<doc_id,tf[,dl]>>) →
+    compressed layout with `postings_enc binary` replacing the struct
+    array. Keeps term/block metadata columns untouched (they are the
+    skip index — readable without decoding)."""
+    has_dl = "dl" in blocked.schema["postings"].dataType.elementType.fieldNames()
     d = F.transform("postings", lambda p: p["doc_id"])
     t = F.transform("postings", lambda p: p["tf"])
     cols = [c for c in blocked.columns if c != "postings"]
+    enc = (encode_postings_dl_udf(d, t, F.transform("postings", lambda p: p["dl"]))
+           if has_dl else encode_postings_udf(d, t))
     return blocked.select(
         *cols,
         F.size("postings").alias("n_postings"),
-        encode_postings_udf(d, t).alias("postings_enc"))
+        enc.alias("postings_enc"))
 
 
 def decode_index(enc: DataFrame) -> DataFrame:
-    """Inverse of encode_index: restore `postings array<struct<doc_id,tf>>`."""
+    """Inverse of encode_index: restore `postings array<struct<...>>`
+    (with dl when the norms stream is present)."""
     cols = [c for c in enc.columns if c not in ("postings_enc", "n_postings")]
+    has_dl = "block_min_dl" in enc.columns
     dec = enc.withColumn("_dec", decode_postings_udf("postings_enc"))
-    return dec.select(
-        *cols,
-        F.arrays_zip(F.col("_dec.doc_ids").alias("doc_id"),
-                     F.col("_dec.tfs").alias("tf")).alias("postings"))
+    if has_dl:
+        postings = F.arrays_zip(F.col("_dec.doc_ids").alias("doc_id"),
+                                F.col("_dec.tfs").alias("tf"),
+                                F.col("_dec.dls").alias("dl"))
+    else:
+        postings = F.arrays_zip(F.col("_dec.doc_ids").alias("doc_id"),
+                                F.col("_dec.tfs").alias("tf"))
+    return dec.select(*cols, postings.alias("postings"))
 
 
 def decoded_postings_long(enc: DataFrame) -> DataFrame:

@@ -147,46 +147,43 @@ def postings_blocked(tc: DataFrame, n_docs: int,
         posting = F.struct("doc_id", "tf", "dl")
     else:
         posting = F.struct("doc_id", "tf")
-    runs = (
-        tc.withColumn("_salt", (F.col("doc_id") / F.lit(span)).cast("int"))
-        .groupBy("term", "_salt")
+    # Block assignment happens at the POSTING level: the window sorts
+    # each (term, salt) shuffle partition's postings by doc_id (Spark's
+    # sort-based shuffle machinery — spills, never a giant in-memory
+    # array) and row_number keys each posting to its ≤`block`-sized
+    # chunk. Hot terms (the stopword skew case) thus never materialize
+    # a full run array anywhere; the only collect_list below is over
+    # ≤`block` rows.
+    salted = tc.withColumn("_salt", (F.col("doc_id") / F.lit(span)).cast("int"))
+    w_run = Window.partitionBy("term", "_salt").orderBy("doc_id")
+    chunks = (
+        salted
+        .withColumn("_blk", ((F.row_number().over(w_run) - 1) / block).cast("int"))
+        .groupBy("term", "_salt", "_blk")
         .agg(
-            F.sort_array(F.collect_list(posting)).alias("run"),
-            F.count("*").cast("long").alias("run_df"),
-            F.sum("tf").cast("long").alias("run_cf"),
+            F.sort_array(F.collect_list(posting)).alias("postings"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.max("tf").cast("int").alias("block_max_tf"),
+            *([F.min("dl").alias("block_min_dl")] if ds is not None else []),
         )
     )
-    # Per-term run directory: S rows/term — window state is bounded.
-    w = Window.partitionBy("term").orderBy("_salt")
-    runs = (
-        runs.withColumn("_blocks_before",
-                        F.coalesce(
-                            F.sum(F.ceil(F.col("run_df") / F.lit(block)))
-                            .over(w.rowsBetween(Window.unboundedPreceding, -1)),
-                            F.lit(0)))
-        .withColumn("df", F.sum("run_df").over(Window.partitionBy("term")))
-        .withColumn("cf", F.sum("run_cf").over(Window.partitionBy("term")))
+    # Per-term directory windows run over BLOCK rows (df/block per term
+    # — thousands, not millions): global block numbering in (salt, blk)
+    # order + df/cf totals.
+    w_term = Window.partitionBy("term").orderBy("_salt", "_blk")
+    w_all = Window.partitionBy("term")
+    out = (
+        chunks
+        .withColumn("block_no", (F.row_number().over(w_term) - 1).cast("long"))
+        .withColumn("df", F.sum("n").over(w_all))
+        .withColumn("cf", F.sum("sum_tf").over(w_all))
+        .select("term", "block_no", "df", "cf", "postings",
+                "first_doc_id", "last_doc_id", "block_max_tf",
+                *(["block_min_dl"] if ds is not None else []))
     )
-    # Cut each run into blocks: posexplode over chunk indices.
-    n_chunks = F.ceil(F.size("run") / F.lit(block)).cast("int")
-    chunked = runs.select(
-        "term", "df", "cf", "_blocks_before", "run",
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_pos", "_chunk"),
-    ).select(
-        "term", "df", "cf",
-        (F.col("_blocks_before") + F.col("_chunk")).cast("long").alias("block_no"),
-        F.slice("run", F.col("_chunk") * block + 1, block).alias("postings"),
-    )
-    out = chunked.select(
-        "term", "block_no", "df", "cf", "postings",
-        F.col("postings")[0]["doc_id"].alias("first_doc_id"),
-        F.element_at("postings", -1)["doc_id"].alias("last_doc_id"),
-        F.array_max(F.transform("postings", lambda p: p["tf"])).alias("block_max_tf"),
-    )
-    if ds is not None:
-        out = out.withColumn(
-            "block_min_dl",
-            F.array_min(F.transform("postings", lambda p: p["dl"])))
     return out
 
 

@@ -106,11 +106,14 @@ def fingerprints(docs: DataFrame, k: int = 4, text_col: str = "text",
     portability). Identical fp_min ⇒ near-certain shared k-gram;
     (fp_min, fp_max) pairs are cheap join keys for corpus-level
     containment checks."""
-    from .dedup import _shingle_array
-    sh = _shingle_array(text_col, k)
+    from ..functions.tokenize import tokens_col
+    from .dedup import _shingles_from
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       tokens_col(text_col).alias("_toks"))
+    sh = _shingles_from(F.col("_toks"), k)
     hashed = F.transform(sh, lambda s: F.md5(s))
-    return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+    return base.select(
+        "doc_id",
         F.array_min(hashed).alias("fp_min"),
         F.array_max(hashed).alias("fp_max"),
         F.size(sh).cast("long").alias("n_shingles"),

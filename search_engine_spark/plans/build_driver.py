@@ -1,0 +1,230 @@
+"""Checkpointed, resumable index build (north rule: "resumable from
+checkpoint with per-partition lineage + metrics"; SURVEY.md §4
+'Resumability' and §7 M5).
+
+The reference rebuilds from scratch every run (no checkpoints —
+/root/reference/src/invertedIndex.py builds the whole in-memory dict
+per invocation). Here every shuffle-stage boundary of the build DAG is
+a durable parquet commit:
+
+    stage 1  doc_map      (doc_id ↔ conv_id/turn_idx expand-back table)
+    stage 2  term_counts  (doc_id, term, tf)      — Arrow tokenize pass
+    stage 3  doc_stats    (dl, len_l2, uniq, max_tf, ave_tf)
+    stage 4  term_stats   (term, df, cf)          — the term dictionary
+    stage 5  index        (blocked ± inline-dl ± varbyte), partitioned
+                          by term_bucket = pmod(xxhash64(term), B) so
+                          query-term lookups prune partitions
+    stage 6  meta         (n_docs, avgdl, config fingerprint)
+
+A stage directory is committed atomically: parquet write (Spark's own
+job-commit protocol gives all-or-nothing per directory), then a
+`_DONE.json` marker carrying that stage's metrics — row count,
+duration, input lineage (upstream stage names + their row counts),
+df/cf totals, and the per-partition file manifest. A re-run with
+resume=True probes markers and SKIPS completed stages, reading their
+parquet instead of recomputing (the probe is the analogue of Iceberg
+snapshot inspection; plain parquet + marker keeps the sandbox
+dependency-free while the layout maps 1:1 onto Iceberg table commits).
+
+Metrics land in <out>/_metrics/metrics.jsonl — one line per stage per
+run, including skipped ones — which is the north rule's "row-count /
+df / cf metrics written per shuffle stage" artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..conf import N_TERM_BUCKETS, POSTING_BLOCK, SALT_BUCKETS
+from ..functions.codec import decode_index, encode_index
+from ..functions.tokenize import term_counts
+from ..operators.docids import doc_map as doc_map_of
+from ..operators.index_build import doc_stats, postings_blocked, term_stats
+
+STAGES = ("doc_map", "term_counts", "doc_stats", "term_stats", "index", "meta")
+
+
+def _marker(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage, "_DONE.json")
+
+
+def _is_done(out_dir: str, stage: str) -> bool:
+    return os.path.exists(_marker(out_dir, stage))
+
+
+def _file_manifest(path: str) -> list[dict]:
+    """Per-partition lineage: the parquet part files a stage committed."""
+    out = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append({"file": os.path.relpath(p, path),
+                            "bytes": os.path.getsize(p)})
+    return out
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    metrics: list[dict] = field(default_factory=list)
+
+    def table(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, stage))
+
+    @property
+    def meta(self) -> dict:
+        with open(_marker(self.out_dir, "meta")) as f:
+            return json.load(f)["extra"]
+
+
+class CheckpointedBuild:
+    """Drives the staged build; each stage = (inputs) -> DataFrame,
+    committed to parquet with metrics, skippable on resume."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, resume: bool = True,
+                 salt_buckets: int = SALT_BUCKETS, block: int = POSTING_BLOCK,
+                 n_term_buckets: int = N_TERM_BUCKETS, compress: bool = True,
+                 inline_dl: bool = True):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.resume = resume
+        self.salt_buckets = salt_buckets
+        self.block = block
+        self.n_term_buckets = n_term_buckets
+        self.compress = compress
+        self.inline_dl = inline_dl
+        self.metrics: list[dict] = []
+        os.makedirs(os.path.join(out_dir, "_metrics"), exist_ok=True)
+
+    # -- plumbing ------------------------------------------------------
+
+    def _log(self, rec: dict) -> None:
+        self.metrics.append(rec)
+        with open(os.path.join(self.out_dir, "_metrics", "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, stage))
+
+    def _commit(self, stage: str, df: DataFrame, lineage: list[str],
+                extra: dict | None = None,
+                partition_by: list[str] | None = None) -> DataFrame:
+        path = os.path.join(self.out_dir, stage)
+        if self.resume and _is_done(self.out_dir, stage):
+            self._log({"stage": stage, "status": "skipped_resume",
+                       "lineage": lineage})
+            return self._read(stage)
+        t0 = time.time()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        committed = self._read(stage)
+        rows = committed.count()
+        rec = {"stage": stage, "status": "built", "rows": rows,
+               "duration_s": round(time.time() - t0, 3), "lineage": lineage,
+               "partitions": _file_manifest(path), **(extra or {})}
+        with open(_marker(self.out_dir, stage), "w") as f:
+            json.dump(rec, f)
+        self._log(rec)
+        return committed
+
+    # -- the build DAG -------------------------------------------------
+
+    def run(self, transcripts_with_ids: DataFrame) -> BuildResult:
+        dm = self._commit("doc_map", doc_map_of(transcripts_with_ids),
+                          lineage=["transcripts"])
+        tc = self._commit(
+            "term_counts",
+            term_counts(transcripts_with_ids),
+            lineage=["transcripts"])
+        ds = self._commit("doc_stats", doc_stats(tc), lineage=["term_counts"])
+        ts_ = self._commit("term_stats", term_stats(tc), lineage=["term_counts"])
+
+        n_docs = dm.count()
+        idx = postings_blocked(tc, n_docs, salt_buckets=self.salt_buckets,
+                               block=self.block,
+                               ds=ds if self.inline_dl else None)
+        if self.compress:
+            idx = encode_index(idx)
+        idx = idx.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)).cast("int"))
+        # df/cf totals = the north rule's per-stage index metrics
+        stats_row = ts_.agg(F.sum("df").alias("sum_df"),
+                            F.sum("cf").alias("sum_cf"),
+                            F.count("*").alias("vocab")).collect()[0]
+        idx_df = self._commit(
+            "index", idx,
+            lineage=["term_counts"] + (["doc_stats"] if self.inline_dl else []),
+            extra={"sum_df": int(stats_row.sum_df or 0),
+                   "sum_cf": int(stats_row.sum_cf or 0),
+                   "vocab": int(stats_row.vocab),
+                   "compressed": self.compress,
+                   "inline_dl": self.inline_dl},
+            partition_by=["term_bucket"])
+
+        avgdl = float(ds.agg(F.avg("dl")).collect()[0][0] or 0.0)
+        meta = {"n_docs": n_docs, "avgdl": avgdl,
+                "salt_buckets": self.salt_buckets, "block": self.block,
+                "n_term_buckets": self.n_term_buckets,
+                "compressed": self.compress, "inline_dl": self.inline_dl}
+        meta_stage = os.path.join(self.out_dir, "meta")
+        if not (self.resume and _is_done(self.out_dir, "meta")):
+            os.makedirs(meta_stage, exist_ok=True)
+            with open(_marker(self.out_dir, "meta"), "w") as f:
+                json.dump({"stage": "meta", "status": "built",
+                           "lineage": ["doc_map", "doc_stats"],
+                           "extra": meta}, f)
+        self._log({"stage": "meta", "status": "built", "extra": meta,
+                   "lineage": ["doc_map", "doc_stats"]})
+        _ = idx_df
+        return BuildResult(self.out_dir, self.metrics)
+
+
+def build_index_checkpointed(spark: SparkSession, transcripts_with_ids: DataFrame,
+                             out_dir: str, resume: bool = True,
+                             **kw) -> BuildResult:
+    return CheckpointedBuild(spark, out_dir, resume=resume, **kw).run(
+        transcripts_with_ids)
+
+
+@dataclass
+class OpenedIndex:
+    """Query-time handle over a committed build directory."""
+    index: DataFrame
+    doc_stats: DataFrame
+    term_stats: DataFrame
+    doc_map: DataFrame
+    n_docs: int
+    avgdl: float
+    compressed: bool
+    inline_dl: bool
+    salt_buckets: int
+
+    def postings_blocked(self) -> DataFrame:
+        """Index with struct postings restored (decoding if needed)."""
+        return decode_index(self.index.drop("term_bucket")) if self.compressed \
+            else self.index.drop("term_bucket")
+
+
+def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
+    for stage in STAGES:
+        if not _is_done(out_dir, stage):
+            raise FileNotFoundError(f"stage {stage!r} not committed in {out_dir}")
+    with open(_marker(out_dir, "meta")) as f:
+        meta = json.load(f)["extra"]
+    rd = lambda s: spark.read.parquet(os.path.join(out_dir, s))  # noqa: E731
+    return OpenedIndex(
+        index=rd("index"), doc_stats=rd("doc_stats"),
+        term_stats=rd("term_stats"), doc_map=rd("doc_map"),
+        n_docs=int(meta["n_docs"]), avgdl=float(meta["avgdl"]),
+        compressed=bool(meta["compressed"]), inline_dl=bool(meta["inline_dl"]),
+        salt_buckets=int(meta["salt_buckets"]))

@@ -1,0 +1,90 @@
+"""Checkpoint-resume gates (SURVEY.md §5.5, M5): staged build commits
+per-stage parquet + metrics; resume skips completed stages; a deleted
+stage is rebuilt identically; queries over the reopened index match
+the direct pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from search_engine_spark.functions.tokenize import term_counts
+from search_engine_spark.operators.index_build import (corpus_stats, doc_stats,
+                                                       term_stats)
+from search_engine_spark.operators.query import bm25_topk, query_terms_df
+from search_engine_spark.operators.wand import wand_topk
+from search_engine_spark.plans.build_driver import (STAGES,
+                                                    build_index_checkpointed,
+                                                    open_index)
+
+QUERIES = [("q1", "a se moc"), ("q2", "jsem ten")]
+
+
+@pytest.fixture(scope="module")
+def built_dir(spark, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    tw, _ = tiny_corpus
+    res = build_index_checkpointed(spark, tw, out, resume=True,
+                                   salt_buckets=4, block=16)
+    return out, res, tw
+
+
+def test_all_stages_committed_with_metrics(built_dir):
+    out, res, _ = built_dir
+    for stage in STAGES:
+        assert os.path.exists(os.path.join(out, stage, "_DONE.json")), stage
+    lines = open(os.path.join(out, "_metrics", "metrics.jsonl")).read().splitlines()
+    recs = [json.loads(ln) for ln in lines]
+    by_stage = {r["stage"]: r for r in recs}
+    assert by_stage["term_counts"]["rows"] > 0
+    assert by_stage["index"]["sum_df"] > 0 and by_stage["index"]["sum_cf"] > 0
+    # per-partition lineage manifest present
+    assert len(by_stage["index"]["partitions"]) > 0
+    assert all("file" in p and "bytes" in p for p in by_stage["index"]["partitions"])
+
+
+def test_resume_skips_completed_stages(spark, built_dir):
+    out, _, tw = built_dir
+    mtimes = {s: os.path.getmtime(os.path.join(out, s, "_DONE.json"))
+              for s in STAGES if s != "meta"}
+    res2 = build_index_checkpointed(spark, tw, out, resume=True,
+                                    salt_buckets=4, block=16)
+    statuses = {m["stage"]: m["status"] for m in res2.metrics}
+    for s in ("doc_map", "term_counts", "doc_stats", "term_stats", "index"):
+        assert statuses[s] == "skipped_resume", (s, statuses)
+    for s, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, s, "_DONE.json")) == t, s
+
+
+def test_deleted_stage_is_rebuilt_identically(spark, built_dir):
+    out, _, tw = built_dir
+    ix0 = open_index(spark, out)
+    before = sorted((r.term, r.df, r.cf) for r in ix0.term_stats.collect())
+    import shutil
+    shutil.rmtree(os.path.join(out, "term_stats"))
+    res = build_index_checkpointed(spark, tw, out, resume=True,
+                                   salt_buckets=4, block=16)
+    statuses = {m["stage"]: m["status"] for m in res.metrics}
+    assert statuses["term_stats"] == "built"
+    assert statuses["term_counts"] == "skipped_resume"
+    after = sorted((r.term, r.df, r.cf) for r in
+                   open_index(spark, out).term_stats.collect())
+    assert after == before
+
+
+def test_reopened_index_serves_identical_topk(spark, built_dir, tiny_corpus):
+    out, _, tw = built_dir
+    ix = open_index(spark, out)
+    assert ix.compressed and ix.inline_dl
+    q = query_terms_df(spark, QUERIES)
+    served = wand_topk(ix.postings_blocked(), q, ix.n_docs, ix.avgdl,
+                       k=5, salt_buckets=ix.salt_buckets)
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    cs = corpus_stats(tw, ds)
+    direct = bm25_topk(tc, ds, term_stats(tc), q, cs["N"], cs["avgdl"], k=5)
+    key = lambda df: sorted((r.qid, r.rank, r.doc_id, round(r.score, 6))  # noqa: E731
+                            for r in df.collect())
+    assert key(served) == key(direct)

@@ -43,9 +43,19 @@ def test_block_roundtrip_property(postings):
     postings.sort()
     d = np.array([p[0] for p in postings], dtype=np.uint64)
     t = np.array([p[1] for p in postings], dtype=np.uint64)
-    dd, tt = decode_block(encode_block(d, t))
+    dd, tt, dl = decode_block(encode_block(d, t))
     assert dd.tolist() == d.astype(np.int64).tolist()
     assert tt.tolist() == t.astype(np.int64).tolist()
+    assert dl is None
+    # three-stream (inline doc-length norms) round trip
+    dls = t + 3
+    dd, tt, ll = decode_block(encode_block(d, t, dls))
+    assert dd.tolist() == d.astype(np.int64).tolist()
+    assert tt.tolist() == t.astype(np.int64).tolist()
+    if len(postings) > 0:
+        assert ll is not None and ll.tolist() == dls.astype(np.int64).tolist()
+    else:
+        assert ll is None  # zero-posting block has no stream to detect
 
 
 def test_block_compression_ratio():

@@ -1,0 +1,85 @@
+"""Streaming gates: incremental (micro-batched) ingest + compaction
+must yield the IDENTICAL index to a one-shot batch build; windowed
+aggregation with watermark runs end-to-end on the transcripts stream."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from search_engine_spark.functions.tokenize import term_counts
+from search_engine_spark.operators.index_build import postings_blocked, term_stats
+from search_engine_spark.sources.transcripts import generate_transcripts
+from search_engine_spark.operators.docids import mint_doc_ids
+from search_engine_spark.streaming.index_stream import (IncrementalIndexer,
+                                                        stream_transcripts,
+                                                        windowed_turn_counts)
+
+
+@pytest.fixture(scope="module")
+def staged_corpus(spark, tmp_path_factory):
+    """Transcripts written as 3 separate parquet files (arrival order)
+    → the streaming source treats each as (part of) a micro-batch."""
+    root = str(tmp_path_factory.mktemp("stream_src"))
+    tw = mint_doc_ids(generate_transcripts(spark, n_convs=30, partitions=1)).cache()
+    n = tw.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    from pyspark.sql import functions as F
+    for i, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, n)]):
+        (tw.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(os.path.join(root, f"chunk{i}")))
+    return root, tw, n
+
+
+def test_incremental_equals_batch(spark, staged_corpus, tmp_path):
+    root, tw, n = staged_corpus
+    out = str(tmp_path / "inc_idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_transcripts(spark, f"{root}/chunk*", max_files_per_trigger=1)
+    ix = IncrementalIndexer(out, salt_buckets=4, block=16)
+    q = ix.attach(stream, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    tables = ix.compact(spark, n)
+    # identical (doc,term,tf) relation
+    inc_tc = sorted(map(tuple, tables["term_counts"].collect()))
+    bat_tc = sorted(map(tuple, term_counts(tw).select("doc_id", "term", "tf").collect()))
+    assert inc_tc == bat_tc
+    # identical df/cf dictionary
+    inc_ts = sorted(map(tuple, tables["term_stats"].collect()))
+    bat_ts = sorted(map(tuple, term_stats(term_counts(tw)).collect()))
+    assert inc_ts == bat_ts
+    # identical blocked index (incl. postings order and block metadata)
+    def key(idx):
+        return sorted((r.term, r.block_no, r.df, r.cf,
+                       tuple((p.doc_id, p.tf) for p in r.postings))
+                      for r in idx.collect())
+    bat_idx = postings_blocked(term_counts(tw), n, salt_buckets=4, block=16)
+    assert key(tables["index"]) == key(bat_idx)
+
+
+def test_windowed_turn_counts_with_watermark(spark, staged_corpus, tmp_path):
+    # fixture ts spans ~80 seconds (1 turn/sec), so windows are seconds-
+    # sized and chunks arrive as separate micro-batches to advance the
+    # watermark (append mode only emits windows the watermark closed)
+    root, tw, n = staged_corpus
+    stream = stream_transcripts(spark, f"{root}/chunk*", max_files_per_trigger=1)
+    agg = windowed_turn_counts(stream, window="20 seconds", watermark="5 seconds")
+    q = (agg.writeStream.format("memory").queryName("turn_windows")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_w")).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from turn_windows").collect()
+    # append mode emits only windows closed by the watermark; the final
+    # (still-open) windows are withheld — so compare against the batch
+    # aggregate restricted to emitted windows, which must match exactly.
+    from pyspark.sql import functions as F
+    batch = (tw.groupBy(F.window("ts", "20 seconds").alias("w"), "role")
+             .agg(F.count("*").alias("n_turns"))
+             .select(F.col("w.start").alias("ws"), "role", "n_turns").collect())
+    batch_map = {(r.ws, r.role): r.n_turns for r in batch}
+    assert len(got) > 0
+    for r in got:
+        assert batch_map[(r.window_start, r.role)] == r.n_turns
