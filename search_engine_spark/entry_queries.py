@@ -72,10 +72,10 @@ def _qterms_values() -> str:
     return ",\n        ".join(rows)
 
 
-def _bm25_sql(k: int = 10) -> str:
+def _bm25_ctes() -> str:
+    """Shared CTE chain ending in `ranked` (qid, doc_id, score, rank)."""
     one_minus_b = repr(1.0 - BM25_B)
-    return f"""
-WITH {TOK_CTE},
+    return f"""{TOK_CTE},
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
 adl AS (SELECT avg(dl) AS avgdl FROM ds),
 q(qid, term, qtf) AS (VALUES
@@ -92,7 +92,12 @@ scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
            FROM hits GROUP BY qid, doc_id),
 ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
-           FROM scored)
+           FROM scored)"""
+
+
+def _bm25_sql(k: int = 10) -> str:
+    return f"""
+WITH {_bm25_ctes()}
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
@@ -287,6 +292,43 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir), k=4).where(F.col("n_shingles") > 0)
 
 
+def _qrels(spark, sf_dir):
+    """Deterministic synthetic relevance judgments shared with the
+    DuckDB oracle: doc is relevant to qid iff
+    (doc_id + int(qid[1:])) % 17 == 0."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    qids = spark.createDataFrame(
+        [(qid, int(qid[1:])) for qid, _ in QUERY_SET], "qid string, qnum int")
+    return (qids.crossJoin(docs)
+            .where((F.col("doc_id") + F.col("qnum")) % 17 == 0)
+            .select("qid", "doc_id"))
+
+
+def q_map_eval(spark, sf_dir):
+    """MAP components per query for the BM25 run vs deterministic
+    qrels (functions/evaluation.py — the trec_eval analogue)."""
+    from .functions.evaluation import per_query_ap
+    results = q_bm25_topk(spark, sf_dir)
+    return per_query_ap(results, _qrels(spark, sf_dir), depth=10)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → Arrow-batched feature
+    vectors (stub decoder; operators/multimodal.py). Rows-only gate —
+    mapInPandas decode is not SQL-expressible."""
+    from .operators.multimodal import decode_features, synthetic_media
+    return decode_features(synthetic_media(spark, n=64)).select(
+        "media_id", "mime", "n_bytes", "decode_ok",
+        F.round(F.element_at("features", 1), 4).alias("f0"))
+
+
+def q_media_stats(spark, sf_dir):
+    """Metadata-only media profile (no decode). Rows-only gate (the
+    media table is engine-synthesized, not in the oracle's views)."""
+    from .operators.multimodal import media_stats, synthetic_media
+    return media_stats(synthetic_media(spark, n=64))
+
+
 def q_sessionize(spark, sf_dir):
     from pyspark.sql.window import Window
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -339,6 +381,33 @@ FROM tc"""
     sql["bm25_topk_indexed"] = _bm25_sql(k=10)
     sql["wand_topk"] = _bm25_sql(k=10)
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
+
+    sql["map_eval"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1),
+hitr AS (
+  SELECT r.qid, r.rank, CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM runq r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+),
+cum AS (
+  SELECT qid, rank, rel,
+         sum(rel) OVER (PARTITION BY qid ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM hitr
+),
+perq AS (
+  SELECT qid, sum(CASE WHEN rel = 1 THEN cum_rel::DOUBLE / rank ELSE 0 END) AS sum_p,
+         sum(rel)::BIGINT AS n_ret_rel
+  FROM cum GROUP BY 1
+)
+SELECT nrel.qid, round(coalesce(perq.sum_p, 0) / nrel.n_rel, 6) AS ap,
+       nrel.n_rel, coalesce(perq.n_ret_rel, 0)::BIGINT AS n_ret_rel
+FROM nrel LEFT JOIN perq USING (qid)"""
 
     sql["tiered_topk"] = f"""
 WITH tokl AS (
@@ -638,6 +707,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_topk": q_wand_topk,
     "bm25_topk_varbyte": q_bm25_topk_varbyte,
     "tiered_topk": q_tiered_topk,
+    "map_eval": q_map_eval,
+    "media_features": q_media_features,
+    "media_stats": q_media_stats,
     "smart_nnc": q_smart_nnc,
     "smart_ltu": q_smart_ltu,
     "dedup_exact": q_dedup_exact,

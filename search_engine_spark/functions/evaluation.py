@@ -1,0 +1,71 @@
+"""Retrieval evaluation — MAP / P@k over a TREC-style run (SURVEY.md
+§2.6 O4).
+
+Reference analogue: `trec_eval -M1000 qrels-train.txt output`
+(/root/reference/src/run:40) scoring the run file against relevance
+judgments; `src/data.csv` records the resulting MAP sweep. The rebuild
+computes the same metrics as a DataFrame aggregation so evaluation
+runs distributed next to retrieval (no per-query driver loop):
+
+    AP(q)  = (1/R_q) · Σ_{r : rel} P@rank(r)     over ranks ≤ depth
+    MAP    = mean over queries WITH ≥1 judged-relevant doc
+    P@k(q) = |relevant in top k| / k
+
+Ties/order come from the run's own `rank` column (the engine's pinned
+(score DESC, doc_id ASC) order), matching how trec_eval consumes the
+run file's ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def per_query_ap(results: DataFrame, qrels: DataFrame,
+                 depth: int = 1000) -> DataFrame:
+    """(qid, ap, n_rel, n_ret_rel) per query.
+
+    results: (qid, doc_id, rank); qrels: (qid, doc_id) judged-relevant
+    pairs. Queries present in qrels only (trec_eval semantics: queries
+    without judgments are excluded from MAP).
+    """
+    r = results.where(F.col("rank") <= depth)
+    n_rel = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("n_rel"))
+    hit = (r.join(qrels.withColumn("_rel", F.lit(1)), ["qid", "doc_id"], "left")
+           .withColumn("_rel", F.coalesce("_rel", F.lit(0))))
+    w = Window.partitionBy("qid").orderBy("rank")
+    hit = hit.withColumn("_cum_rel", F.sum("_rel").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    ap_terms = hit.withColumn(
+        "_p_at_r", F.when(F.col("_rel") == 1,
+                          F.col("_cum_rel") / F.col("rank")).otherwise(0.0))
+    per_q = ap_terms.groupBy("qid").agg(
+        F.sum("_p_at_r").alias("_sum_p"),
+        F.sum("_rel").cast("long").alias("n_ret_rel"))
+    return (n_rel.join(per_q, "qid", "left")
+            .select("qid",
+                    F.round(F.coalesce(F.col("_sum_p"), F.lit(0.0))
+                            / F.col("n_rel"), 6).alias("ap"),
+                    "n_rel",
+                    F.coalesce("n_ret_rel", F.lit(0)).cast("long").alias("n_ret_rel")))
+
+
+def mean_average_precision(results: DataFrame, qrels: DataFrame,
+                           depth: int = 1000) -> DataFrame:
+    """One-row (map, n_queries) over all judged queries."""
+    return per_query_ap(results, qrels, depth).agg(
+        F.round(F.avg("ap"), 6).alias("map"),
+        F.count("*").cast("long").alias("n_queries"))
+
+
+def precision_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """(qid, p_at_k) — precision of the top k ranks."""
+    r = results.where(F.col("rank") <= k)
+    hits = (r.join(qrels, ["qid", "doc_id"], "leftsemi")
+            .groupBy("qid").agg(F.count("*").alias("_hits")))
+    qids = qrels.select("qid").distinct()
+    return (qids.join(hits, "qid", "left")
+            .select("qid", F.round(F.coalesce(F.col("_hits"), F.lit(0))
+                                   / F.lit(float(k)), 6).alias("p_at_k")))

@@ -1,0 +1,58 @@
+"""MAP / P@k gates with hand-computed golden values (the trec_eval
+analogue, SURVEY.md §2.6 O4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.functions.evaluation import (mean_average_precision,
+                                                      per_query_ap,
+                                                      precision_at_k)
+
+
+@pytest.fixture(scope="module")
+def run_and_qrels(spark):
+    # q1: ranks 1..5 → docs 10,20,30,40,50; relevant {10, 30, 99}
+    #   AP = (1/1 + 2/3) / 3 = 0.555556 ; P@3 = 2/3
+    # q2: ranks 1..3 → docs 1,2,3; relevant {7}  → AP 0, P@3 0
+    # q3: judged but never retrieved → AP 0 (counted in MAP)
+    results = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q1", 30, 3), ("q1", 40, 4), ("q1", 50, 5),
+         ("q2", 1, 1), ("q2", 2, 2), ("q2", 3, 3)],
+        "qid string, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", 10), ("q1", 30), ("q1", 99), ("q2", 7), ("q3", 5)],
+        "qid string, doc_id long")
+    return results, qrels
+
+
+def test_per_query_ap_golden(spark, run_and_qrels):
+    results, qrels = run_and_qrels
+    got = {r.qid: r for r in per_query_ap(results, qrels).collect()}
+    assert got["q1"].ap == pytest.approx(0.555556, abs=1e-6)
+    assert got["q1"].n_rel == 3 and got["q1"].n_ret_rel == 2
+    assert got["q2"].ap == 0.0 and got["q2"].n_ret_rel == 0
+    assert got["q3"].ap == 0.0 and got["q3"].n_rel == 1
+
+
+def test_map_golden(spark, run_and_qrels):
+    results, qrels = run_and_qrels
+    row = mean_average_precision(results, qrels).collect()[0]
+    assert row.n_queries == 3
+    assert row.map == pytest.approx(0.555556 / 3, abs=1e-5)
+
+
+def test_precision_at_k_golden(spark, run_and_qrels):
+    results, qrels = run_and_qrels
+    got = {r.qid: r.p_at_k for r in precision_at_k(results, qrels, 3).collect()}
+    assert got["q1"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["q2"] == 0.0
+    assert got["q3"] == 0.0
+
+
+def test_depth_cutoff(spark, run_and_qrels):
+    results, qrels = run_and_qrels
+    got = {r.qid: r for r in per_query_ap(results, qrels, depth=2).collect()}
+    # only rank-1 hit counts at depth 2 → AP = (1/1)/3
+    assert got["q1"].ap == pytest.approx(1 / 3, abs=1e-6)
+    assert got["q1"].n_ret_rel == 1
