@@ -124,24 +124,24 @@ def main() -> None:
     extras["n_index_blocks"] = n_blocks
     avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
 
-    # --- BM25 query latency (one untimed warmup run: plan codegen /
-    # Arrow init are per-plan one-offs, not per-query cost) ----------------
+    # --- query latency over the serving layout: ONE cached dl-inline
+    # index feeds both the exhaustive TAAT path (no doc_stats join —
+    # norms ride in the postings) and the block-max pruned path. One
+    # untimed warmup per plan (codegen/Arrow init are one-offs).
+    from search_engine_spark.operators.index_build import postings_blocked as _pb
+    from search_engine_spark.operators.wand import wand_topk
     q = query_terms_df(spark, QUERY_SET)
-    bm25_topk_from_index(idx, ds, q, n_turns, avgdl, k=10).collect()
+    idx_dl = _pb(tc, n_turns, ds=ds).cache()
+    idx_dl.count()
+    bm25_topk_from_index(idx_dl, None, q, n_turns, avgdl, k=10).collect()
     lat = []
     for _ in range(N_REPEAT):
         t0 = time.time()
-        bm25_topk_from_index(idx, ds, q, n_turns, avgdl, k=10).collect()
+        bm25_topk_from_index(idx_dl, None, q, n_turns, avgdl, k=10).collect()
         lat.append(time.time() - t0)
     timings["bm25_query"] = round(sum(lat), 3)
     extras["bm25_p50_ms"] = round(statistics.median(lat) * 1000, 1)
 
-    # --- WAND-served query latency (block-max pruned, from the same index
-    # layout but with inline dl) -------------------------------------------
-    from search_engine_spark.operators.index_build import postings_blocked as _pb
-    from search_engine_spark.operators.wand import wand_topk
-    idx_dl = _pb(tc, n_turns, ds=ds).cache()
-    idx_dl.count()
     wand_topk(idx_dl, q, n_turns, avgdl, k=10).collect()  # warmup
     lat_w = []
     for _ in range(N_REPEAT):

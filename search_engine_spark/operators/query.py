@@ -89,21 +89,32 @@ def bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     return _topk(scored, k)
 
 
-def bm25_topk_from_index(index: DataFrame, ds: DataFrame, qterms: DataFrame,
+def bm25_topk_from_index(index: DataFrame, ds: DataFrame | None, qterms: DataFrame,
                          n_docs: int, avgdl: float, k: int = TOP_K_DEFAULT,
                          k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
     """Same scoring against the persisted blocked index table
     (term, block_no, df, cf, postings). df rides on the block rows so
     no extra dictionary join is needed; postings are exploded back to
-    (doc_id, tf) after the term semi-join prunes blocks."""
+    (doc_id, tf) after the term semi-join prunes blocks.
+
+    If the index was built with inline doc lengths
+    (postings_blocked(..., ds=...) — struct<doc_id,tf,dl>), the
+    doc_stats join disappears from the plan entirely (ds may be None):
+    post-semi-join the query path is scan → explode → groupBy → top-k,
+    with zero joins against per-doc tables."""
+    has_dl = "dl" in index.schema["postings"].dataType.elementType.fieldNames()
     hits = (
         index.join(F.broadcast(qterms), "term", "inner")
         .select("qid", "qtf", "df",
                 F.explode("postings").alias("p"))
         .select("qid", "qtf", "df",
-                F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
-        .join(ds.select("doc_id", "dl"), "doc_id")
+                F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"),
+                *([F.col("p.dl").alias("dl")] if has_dl else []))
     )
+    if not has_dl:
+        if ds is None:
+            raise ValueError("index has no inline dl; doc_stats required")
+        hits = hits.join(ds.select("doc_id", "dl"), "doc_id")
     tf = F.col("tf").cast("double")
     dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
     sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)

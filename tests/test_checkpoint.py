@@ -88,3 +88,8 @@ def test_reopened_index_serves_identical_topk(spark, built_dir, tiny_corpus):
     key = lambda df: sorted((r.qid, r.rank, r.doc_id, round(r.score, 6))  # noqa: E731
                             for r in df.collect())
     assert key(served) == key(direct)
+    # TAAT over the same inline-dl index with NO doc_stats join
+    from search_engine_spark.operators.query import bm25_topk_from_index
+    taat = bm25_topk_from_index(ix.postings_blocked(), None, q,
+                                ix.n_docs, ix.avgdl, k=5)
+    assert key(taat) == key(direct)
