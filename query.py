@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=("taat", "wand"), default="wand")
     ap.add_argument("--trec-out", help="write TREC run lines here")
+    ap.add_argument("--expand", action="store_true",
+                    help="join doc_map to show (conv_id, turn_idx)")
     ap.add_argument("--run-id", default="spark-bm25")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -66,9 +68,15 @@ def main() -> None:
     else:
         res = bm25_topk_from_index(blocked, ix.doc_stats, qterms,
                                    ix.n_docs, ix.avgdl, k=args.k)
-    rows = res.orderBy("qid", "rank").collect()
-    for r in rows:
-        print(f"{r.qid}\t{r.doc_id}\t{r.rank}\t{r.score}")
+    if args.expand:
+        from search_engine_spark.operators.query import expand_results
+        rows = expand_results(res, ix.doc_map).orderBy("qid", "rank").collect()
+        for r in rows:
+            print(f"{r.qid}\t{r.doc_id}\t{r.conv_id}\t{r.turn_idx}\t{r.rank}\t{r.score}")
+    else:
+        rows = res.orderBy("qid", "rank").collect()
+        for r in rows:
+            print(f"{r.qid}\t{r.doc_id}\t{r.rank}\t{r.score}")
     if args.trec_out:
         lines = [r.line for r in
                  trec_export(res, run_id=args.run_id).orderBy("line").collect()]

@@ -270,6 +270,11 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=5, k=5, n_planes=8)
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=5, k=5,
+                               n_cells=8, n_probe=2)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     # synthetic embeddings have no true near-dups (max same-bucket cosine
     # ≈0.51 at sf0.01); 0.4 keeps the gate comparing nonzero rows
@@ -598,6 +603,34 @@ ranked AS (SELECT qid, vec_id, cos, bucket,
            FROM scored)
 SELECT qid, vec_id, rank, cos, bucket FROM ranked WHERE rank <= 5"""
 
+    sql["embedding_ivf_topk"] = """
+WITH cent AS (SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS centv
+              FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+ascore AS (SELECT v.vec_id, cent.cell,
+                  round(list_cosine_similarity(cv, centv), 4) AS cc
+           FROM v, cent),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+             FROM ascore) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+qc AS (SELECT qid, qv, cent.cell,
+              round(list_cosine_similarity(qv, centv), 4) AS qcos
+       FROM q, cent),
+probes AS (SELECT qid, qv, cell FROM (
+             SELECT qid, qv, cell,
+                    row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cell) AS rn
+             FROM qc) WHERE rn <= 2),
+cand AS (SELECT p.qid, v.vec_id,
+                round(list_cosine_similarity(p.qv, v.cv), 4) AS cos
+         FROM probes p JOIN assign a USING (cell) JOIN v ON v.vec_id = a.vec_id
+         WHERE v.vec_id != p.qid),
+ranked AS (SELECT qid, vec_id, cos,
+                  (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id))::INT AS rank
+           FROM cand)
+SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5"""
+
     sql["embedding_dup_pairs"] = f"""
 WITH wb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
                    ({bucket4})::INT AS bucket FROM embeddings)
@@ -720,6 +753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

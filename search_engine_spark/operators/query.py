@@ -223,6 +223,16 @@ def smart_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     return _topk(scored, k)
 
 
+def expand_results(results: DataFrame, doc_map: DataFrame) -> DataFrame:
+    """Expand surrogate doc_ids back to (conv_id, turn_idx) via the
+    doc_map table (reference expandDocid,
+    src/invertedIndex.py:152-161 — prefix substitution there, a
+    broadcast-or-shuffle equi-join here; top-k results are tiny, so
+    Catalyst broadcasts the RESULT side against the big map)."""
+    return (results.join(doc_map, "doc_id")
+            .select("qid", "doc_id", "conv_id", "turn_idx", "rank", "score"))
+
+
 def trec_export(results: DataFrame, run_id: str = RUN_ID_DEFAULT) -> DataFrame:
     """S10: TREC run lines `qid 0 docid rank score runId`
     (reference :293-296,570-573)."""

@@ -96,6 +96,66 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = 8,
             .select("qid", "vec_id", "rank", "cos", "bucket"))
 
 
+def ivf_assign(emb: DataFrame, n_cells: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid cell (argmax cosine, ties → lower cell id).
+
+    Centroids are the first `n_cells` vectors (deterministic "training"
+    — a seeded k-means would drop in here; the assignment plan is
+    unchanged). The assignment is a broadcast nested-loop of corpus ×
+    centroids — exactly IVF's O(N·K) coarse pass; at billions of
+    vectors the centroid table stays broadcast-small and the output
+    `cell` column becomes the partition key of the vector table, so a
+    query probes P partitions instead of scanning the corpus.
+
+    Output: (vec_id, cell, cell_cos)."""
+    cent = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("centv"))
+    scored = (emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+              .crossJoin(F.broadcast(cent))
+              .select("vec_id", "cell",
+                      F.round(cosine(F.col("v"), F.col("centv")),
+                              COS_DECIMALS).alias("cell_cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "cell", "cell_cos"))
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = 8,
+             n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN search: each query probes its `n_probe` nearest cells
+    and scores exact cosine only against vectors assigned there
+    (the inverted-file analogue of the text engine's term-bucket
+    pruning). Output (qid, vec_id, rank, cos)."""
+    assign = ivf_assign(emb, n_cells, id_col, vec_col)
+    corpus = (emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+              .join(assign.select("vec_id", "cell"), "vec_id"))
+    cent = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("centv"))
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    qcells = (q.crossJoin(F.broadcast(cent))
+              .select("qid", "qv", "cell",
+                      F.round(cosine(F.col("qv"), F.col("centv")),
+                              COS_DECIMALS).alias("qc")))
+    wq = Window.partitionBy("qid").orderBy(F.desc("qc"), F.asc("cell"))
+    probes = (qcells.withColumn("_rn", F.row_number().over(wq))
+              .where(F.col("_rn") <= n_probe).select("qid", "qv", "cell"))
+    scored = (corpus.join(F.broadcast(probes), "cell")
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")),
+                              COS_DECIMALS).alias("cos"))
+              .groupBy("qid", "vec_id").agg(F.max("cos").alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "rank", "cos"))
+
+
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                         n_planes: int = 4,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
