@@ -73,7 +73,7 @@ def _timed_build(spark, sf_dir: str, cpus: int, rep: int, warm_rep: int = 2):
 
 
 SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "160"))
-SCALE_TIMED = int(os.environ.get("BENCH_SCALE_TIMED", "3"))
+SCALE_TIMED = int(os.environ.get("BENCH_SCALE_TIMED", "2"))
 
 
 def scale_run(cpus: int) -> None:
@@ -187,8 +187,12 @@ def main() -> None:
         import subprocess
         n_small, n_big = 2, 8
         have_taskset = shutil.which("taskset") is not None
+        # two interleaved passes per level: a multi-minute host
+        # interference window then has to hit BOTH same-level passes to
+        # bias the ratio; per-level best-of-all-samples is compared
         best: dict[int, dict] = {}
-        for c in (n_small, n_big):
+        samples: dict[int, list] = {}
+        for c in (n_small, n_big, n_small, n_big):
             env = dict(os.environ, SCALE_RUN=str(c))
             cmd = [sys.executable, os.path.abspath(__file__)]
             if have_taskset:
@@ -196,9 +200,10 @@ def main() -> None:
             p = subprocess.run(cmd, env=env, capture_output=True, text=True)
             line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
             r = json.loads(line)
-            if "turns_per_sec" in r and (
-                    c not in best or r["turns_per_sec"] > best[c]["turns_per_sec"]):
-                best[c] = r
+            if "turns_per_sec" in r:
+                samples.setdefault(c, []).extend(r.get("all_sec", []))
+                if c not in best or r["turns_per_sec"] > best[c]["turns_per_sec"]:
+                    best[c] = r
         if len(best) == 2:
             small, big = best[n_small], best[n_big]
             out["scaling"] = {
@@ -207,6 +212,8 @@ def main() -> None:
                 "scale_turns": small["n_turns"],
                 "build_turns_per_sec_small": small["turns_per_sec"],
                 "build_turns_per_sec_big": big["turns_per_sec"],
+                "samples_sec_small": samples.get(n_small, []),
+                "samples_sec_big": samples.get(n_big, []),
                 "efficiency": round(big["turns_per_sec"] / small["turns_per_sec"]
                                     / (big["cpus"] / small["cpus"]), 3),
             }

@@ -61,7 +61,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     ix = open_index(spark, args.index)
     qterms = query_terms_df(spark, queries)
-    blocked = ix.postings_blocked()
+    blocked = ix.postings_blocked(qterms)  # term-bucket partition pruning
     if args.mode == "wand" and ix.inline_dl:
         res = wand_topk(blocked, qterms, ix.n_docs, ix.avgdl, k=args.k,
                         salt_buckets=ix.salt_buckets)

@@ -208,11 +208,27 @@ class OpenedIndex:
     compressed: bool
     inline_dl: bool
     salt_buckets: int
+    n_term_buckets: int
 
-    def postings_blocked(self) -> DataFrame:
-        """Index with struct postings restored (decoding if needed)."""
-        return decode_index(self.index.drop("term_bucket")) if self.compressed \
-            else self.index.drop("term_bucket")
+    def postings_blocked(self, qterms: DataFrame | None = None) -> DataFrame:
+        """Index with struct postings restored (decoding if needed).
+
+        Passing the query's `qterms` DataFrame prunes the scan to the
+        term-hash PARTITIONS the query can touch before anything is
+        read or decoded — the Spark analogue of the reference's
+        offsets.gz byte-seek (src/invertedIndex.py:240-241): the
+        bucket list (≤ #query terms, driver-side) becomes a partition
+        filter the parquet source evaluates against directory names,
+        so non-matching buckets are never scanned (on Iceberg the same
+        predicate prunes via partition stats)."""
+        idx = self.index
+        if qterms is not None:
+            buckets = [r.b for r in qterms.select(
+                F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
+                .cast("int").alias("b")).distinct().collect()]
+            idx = idx.where(F.col("term_bucket").isin(buckets))
+        idx = idx.drop("term_bucket")
+        return decode_index(idx) if self.compressed else idx
 
 
 def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
@@ -227,4 +243,5 @@ def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
         term_stats=rd("term_stats"), doc_map=rd("doc_map"),
         n_docs=int(meta["n_docs"]), avgdl=float(meta["avgdl"]),
         compressed=bool(meta["compressed"]), inline_dl=bool(meta["inline_dl"]),
-        salt_buckets=int(meta["salt_buckets"]))
+        salt_buckets=int(meta["salt_buckets"]),
+        n_term_buckets=int(meta["n_term_buckets"]))
