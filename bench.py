@@ -72,8 +72,8 @@ def _timed_build(spark, sf_dir: str, cpus: int, rep: int, warm_rep: int = 2):
     return time.time() - t0, n_turns, tc, ds, idx, n_blocks
 
 
-SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "160"))
-SCALE_TIMED = int(os.environ.get("BENCH_SCALE_TIMED", "2"))
+SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "320"))
+SCALE_TIMED = int(os.environ.get("BENCH_SCALE_TIMED", "1"))
 
 
 def scale_run(cpus: int) -> None:
