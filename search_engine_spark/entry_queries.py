@@ -32,8 +32,9 @@ from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
                                     postings_salted, term_stats)
-from .operators.query import (bm25_topk, bm25_topk_from_index,
-                              query_terms_df, smart_topk)
+from .operators.query import (bm25_topk, bm25_topk_from_flat,
+                              bm25_topk_from_index, query_terms_df,
+                              smart_topk)
 
 # ---------------------------------------------------------------------
 # shared SQL fragments
@@ -206,13 +207,12 @@ def q_bm25_topk_varbyte(spark, sf_dir):
     avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
     enc = encode_index(postings_blocked(tc, n_docs, salt_buckets=8))
     q = query_terms_df(spark, QUERY_SET)
-    # prune blocks by term BEFORE decoding (skipped blocks never decode)
+    # prune blocks by term BEFORE decoding (skipped blocks never decode),
+    # then score straight off the flat decoded rows — no collect_list
+    # re-materialization of full per-term posting arrays
     pruned = enc.join(F.broadcast(q.select("term").distinct()), "term", "leftsemi")
-    flat = decoded_postings_long(pruned)
-    return bm25_topk_from_index(
-        flat.groupBy("term", "df").agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings")),
-        ds, q, n_docs, avgdl, k=10)
+    flat = decoded_postings_long(pruned).select("term", "doc_id", "tf", "df")
+    return bm25_topk_from_flat(flat, ds, q, n_docs, avgdl, k=10)
 
 
 def q_tiered_topk(spark, sf_dir):
@@ -259,7 +259,12 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), bits=32, max_hamming=6)
+    # the banded (pigeonhole-bucketed) variant IS the gate path: output
+    # is identical to the all-pairs cross join (identity-tested in
+    # tests/test_dedup.py and against this gate's exact-join oracle SQL),
+    # but the plan is bucket-groupBy + verify join — the shape that
+    # survives 10^12 docs
+    return dedup.simhash_pairs_banded(_docs(spark, sf_dir), bits=32, max_hamming=6)
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -277,8 +282,11 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
 def q_embedding_dup_pairs(spark, sf_dir):
     # synthetic embeddings have no true near-dups (max same-bucket cosine
-    # ≈0.51 at sf0.01); 0.4 keeps the gate comparing nonzero rows
-    return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_planes=4)
+    # ≈0.51 at sf0.01); 0.4 keeps the gate comparing nonzero rows. The
+    # bucket cap is a no-op at gate scale (buckets ≪ 10k) but sits in
+    # the plan as the hot-bucket guard the 100 TB run needs.
+    return similarity.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4,
+                                          n_planes=4, max_bucket_size=10_000)
 
 
 def q_text_quality(spark, sf_dir):

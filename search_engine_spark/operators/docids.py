@@ -9,18 +9,23 @@ surrogate ``doc_id`` = rank over ORDER BY (conv_id, turn_idx), plus a
 Scale design: a naive ``row_number() OVER (ORDER BY ...)`` is a
 single-partition global sort — a non-starter at 10^12 turns. Instead:
 
-1. sample distinct conv_ids (seeded) → B-1 range splitters (driver-side
-   array literal, tiny);
+1. a thin seeded sample of conv_ids, CAPPED at ``sample_cap`` rows
+   before anything reaches the driver (at 10^12 turns an uncapped
+   distinct-sample would itself be billions of rows) → B-1 range
+   splitters picked evenly from the sorted capped sample;
 2. bucket each row by splitter rank (an O(B) aggregate expression,
    JVM-side — all rows of bucket i order before bucket i+1);
 3. local rank within bucket (window partitioned by bucket — bounded
    partitions, sort-based, spills);
-4. bucket row-counts → cumulative offsets (B rows on the driver) →
+4. bucket row-counts → cumulative offsets (≤B rows on the driver) →
    broadcast-joined back; doc_id = offset + local_rank.
 
-Total: one shuffle for the window + one broadcast join. Deterministic:
-identical input ⇒ identical ids (splitters are a pure function of the
-seeded sample).
+Total: one shuffle for the window + one broadcast join. Every driver
+collect is bounded: the splitter sample by ``sample_cap``, the offset
+table by ``n_buckets``. The final doc_id does NOT depend on where the
+splitters land (any order-consistent bucketing yields the same global
+rank), so the cap/limit cannot change results — splitter quality only
+shapes partition balance.
 """
 
 from __future__ import annotations
@@ -42,19 +47,24 @@ def _bucket_col(splitters: list[str]) -> F.Column:
 
 
 def mint_doc_ids(transcripts: DataFrame, n_buckets: int = 64,
-                 sample_fraction: float = 0.01, seed: int = 42) -> DataFrame:
+                 sample_fraction: float = 0.05, seed: int = 42,
+                 sample_cap: int = 100_000) -> DataFrame:
     """Return transcripts + dense int64 ``doc_id`` ordered by
-    (conv_id, turn_idx), without a global single-partition sort."""
+    (conv_id, turn_idx), without a global single-partition sort and
+    without any unbounded driver-side collect."""
     spark = transcripts.sparkSession
     sample = (
         transcripts.select("conv_id")
-        .sample(fraction=min(1.0, sample_fraction * max(n_buckets, 8)), seed=seed)
-        .distinct().orderBy("conv_id")
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .distinct().limit(sample_cap)
         .collect()
     )
-    convs = [r.conv_id for r in sample]
-    step = max(1, len(convs) // n_buckets)
-    splitters = convs[step::step][: n_buckets - 1]
+    convs = sorted(r.conv_id for r in sample)
+    if len(convs) > n_buckets:
+        step = len(convs) / n_buckets
+        splitters = sorted({convs[int(i * step)] for i in range(1, n_buckets)})
+    else:
+        splitters = convs[1:]
 
     bucketed = transcripts.withColumn("_bkt", _bucket_col(splitters))
     w = Window.partitionBy("_bkt").orderBy("conv_id", "turn_idx")

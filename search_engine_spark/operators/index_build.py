@@ -128,7 +128,7 @@ def postings_blocked(tc: DataFrame, n_docs: int,
     block-numbering window sorts (tiny). Output columns:
 
         term, block_no, df, cf, postings array<struct<doc_id,tf>>,
-        first_doc_id, last_doc_id, block_max_tf
+        first_doc_id, last_doc_id, block_max_tf, salt
 
     df/cf are per-term totals repeated on each block row (they ride
     along to avoid a second dictionary join at query time).
@@ -170,19 +170,39 @@ def postings_blocked(tc: DataFrame, n_docs: int,
             *([F.min("dl").alias("block_min_dl")] if ds is not None else []),
         )
     )
-    # Per-term directory windows run over BLOCK rows (df/block per term
-    # — thousands, not millions): global block numbering in (salt, blk)
-    # order + df/cf totals.
-    w_term = Window.partitionBy("term").orderBy("_salt", "_blk")
+    # Global block numbering + per-term df/cf come from a RUN DIRECTORY
+    # — one row per (term, salt), i.e. ≤ salt_buckets rows per term —
+    # NOT from a window over the block rows themselves. A stopword-grade
+    # term at 10^12 docs has ~10^8 block rows; a window partitioned by
+    # bare `term` would pull all of them (postings included) through one
+    # reducer. The directory windows below see ≤ salt_buckets tiny rows
+    # per term, and the block rows are re-joined on (term, _salt), which
+    # keeps a hot term spread across its salt span even in the join.
+    dir_ = chunks.groupBy("term", "_salt").agg(
+        F.count("*").alias("_nb"),
+        F.sum("n").alias("_run_df"),
+        F.sum("sum_tf").alias("_run_cf"))
+    w_dir = Window.partitionBy("term").orderBy("_salt")
     w_all = Window.partitionBy("term")
+    dir_ = (
+        dir_
+        .withColumn("_blk_off", F.coalesce(
+            F.sum("_nb").over(w_dir.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+        .withColumn("df", F.sum("_run_df").over(w_all).cast("long"))
+        .withColumn("cf", F.sum("_run_cf").over(w_all).cast("long")))
     out = (
-        chunks
-        .withColumn("block_no", (F.row_number().over(w_term) - 1).cast("long"))
-        .withColumn("df", F.sum("n").over(w_all))
-        .withColumn("cf", F.sum("sum_tf").over(w_all))
+        chunks.join(dir_.select("term", "_salt", "_blk_off", "df", "cf"),
+                    ["term", "_salt"])
+        .withColumn("block_no", (F.col("_blk_off") + F.col("_blk")).cast("long"))
         .select("term", "block_no", "df", "cf", "postings",
                 "first_doc_id", "last_doc_id", "block_max_tf",
-                *(["block_min_dl"] if ds is not None else []))
+                *(["block_min_dl"] if ds is not None else []),
+                # the build's own doc-range id rides on every block row so
+                # query-time operators (wand_topk) group by the EXACT salt
+                # span the index was built with instead of re-deriving it
+                # from caller-supplied parameters (silent-mismatch hazard)
+                F.col("_salt").cast("int").alias("salt"))
     )
     return out
 

@@ -127,6 +127,32 @@ def bm25_topk_from_index(index: DataFrame, ds: DataFrame | None, qterms: DataFra
     return _topk(scored, k)
 
 
+def bm25_topk_from_flat(flat: DataFrame, ds: DataFrame | None, qterms: DataFrame,
+                        n_docs: int, avgdl: float, k: int = TOP_K_DEFAULT,
+                        k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25 top-k straight off a flat (term, doc_id, tf, df[, dl])
+    relation — the shape decoded_postings_long produces after
+    decode-after-prune. Scoring from the flat rows avoids ever
+    re-materializing a full per-term posting array (the hot-term
+    blow-up the blocked layout exists to prevent); ds supplies dl via
+    join only when the relation has no inline dl column."""
+    hits = flat.join(F.broadcast(qterms), "term", "inner")
+    if "dl" not in flat.columns:
+        if ds is None:
+            raise ValueError("flat relation has no dl; doc_stats required")
+        hits = hits.join(ds.select("doc_id", "dl"), "doc_id")
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
+    scored = (
+        hits.select("qid", "doc_id", partial.alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, k)
+
+
 # --- SMART ddd.qqq weighting (R1, reference calculateWeightOfTerm
 # src/invertedIndex.py:171-202) -----------------------------------------
 

@@ -157,20 +157,36 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = 8,
 
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
-                        n_planes: int = 4,
+                        n_planes: int = 4, max_bucket_size: int | None = 10_000,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ threshold), bucketed by a
-    coarse sign-LSH so the self-join is per-bucket instead of all-pairs.
-    NOTE: bucketing makes this approximate (a near-dup pair straddling
-    a hyperplane is missed) — that IS the scale contract; the oracle
-    replicates the same bucketing. Output (vec_a, vec_b, cos)."""
+    coarse sign-LSH. NOTE: bucketing makes this approximate (a near-dup
+    pair straddling a hyperplane is missed) — that IS the scale
+    contract; the oracle replicates the same bucketing.
+
+    Scale shape mirrors lsh_candidates: ONE groupBy on bucket collecting
+    (id, vector) members, then in-bucket pair expansion with array
+    combinatorics — no self-join (a self-join recomputes the upstream
+    per side and is quadratic per bucket with no guard). A bucket of
+    boilerplate near-identical vectors is inherently quadratic in its
+    OUTPUT, so `max_bucket_size` drops buckets above the cap (None =
+    uncapped exact-within-bucketing). Output (vec_a, vec_b, cos)."""
     with_b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                         sign_bucket(F.col(vec_col), n_planes).alias("bucket"))
-    a, b = with_b.alias("a"), with_b.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"),
-                F.round(cosine(F.col("a.v"), F.col("b.v")), COS_DECIMALS).alias("cos"))
-        .where(F.col("cos") >= threshold)
-    )
+    buckets = (with_b.groupBy("bucket")
+               .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("m"))
+               .where(F.size("m") > 1))
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("m") <= max_bucket_size)
+    m = F.col("m")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(m) - 2),
+        lambda i: F.transform(
+            F.slice(m, i + 2, F.size(m)),
+            lambda b: F.struct(F.element_at(m, (i + 1).cast("int")).alias("a"),
+                               b.alias("b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a.id").alias("vec_a"), F.col("p.b.id").alias("vec_b"),
+                    F.round(cosine(F.col("p.a.v"), F.col("p.b.v")),
+                            COS_DECIMALS).alias("cos"))
+            .where(F.col("cos") >= threshold))

@@ -57,15 +57,21 @@ def tier_term_counts(docs: DataFrame, tier: int, text_col: str = "text",
 def _tier_partials(tc: DataFrame, qterms: DataFrame, n_docs: int,
                    k1: float, b: float) -> DataFrame:
     """Per-(qid, doc) BM25 partial sums within ONE tier, using that
-    tier's own df and dl (reference: per-tier index + docLengths)."""
+    tier's own df and dl (reference: per-tier index + docLengths).
+
+    doc_stats is built ONCE and serves both the dl join and the avgdl
+    aggregate; avgdl rides in as a broadcast 1-row crossJoin (a scalar
+    subquery) instead of an eager driver collect, so constructing the
+    plan fires no Spark jobs and the tokenize lineage is not recomputed
+    per scalar."""
     ds = doc_stats(tc).select("doc_id", "dl")
     ts_ = term_stats(tc).select("term", "df")
-    avgdl_row = doc_stats(tc).agg(F.avg("dl")).collect()
-    avgdl = float(avgdl_row[0][0] or 1.0)
+    adl = ds.agg(F.coalesce(F.avg("dl"), F.lit(1.0)).alias("_avgdl"))
     qdict = F.broadcast(qterms.join(ts_, "term", "inner"))
-    hits = tc.join(qdict, "term", "inner").join(ds, "doc_id")
+    hits = (tc.join(qdict, "term", "inner").join(ds, "doc_id")
+            .crossJoin(F.broadcast(adl)))
     tf = F.col("tf").cast("double")
-    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    dl_norm = 1.0 - b + b * F.col("dl") / F.col("_avgdl")
     sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
     partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
     return (hits.select("qid", "doc_id", partial.alias("partial"))
@@ -78,9 +84,14 @@ def tiered_topk(docs: DataFrame, qterms: DataFrame, n_docs: int,
                 title_tokens: int = TITLE_TOKENS) -> DataFrame:
     """Tier-0 scores; qids with < k tier-0 docs fall through to tier 1,
     whose scores MERGE into the accumulator (reference :230,287-291);
-    final top-k over the merged scores."""
-    tc0 = tier_term_counts(docs, 0, title_tokens=title_tokens)
-    tc1 = tier_term_counts(docs, 1, title_tokens=title_tokens)
+    final top-k over the merged scores.
+
+    Each tier's (doc_id, term, tf) relation is persisted: it feeds the
+    scoring join, the tier's doc_stats/term_stats and (for tier 0) the
+    fallthrough count — caching makes that one tokenize pass per tier
+    instead of one per consumer."""
+    tc0 = tier_term_counts(docs, 0, title_tokens=title_tokens).persist()
+    tc1 = tier_term_counts(docs, 1, title_tokens=title_tokens).persist()
     s0 = _tier_partials(tc0, qterms, n_docs, k1, b)
     s1 = _tier_partials(tc1, qterms, n_docs, k1, b)
     # fallthrough set: qids tier 0 could not fill (count < k). Includes

@@ -163,8 +163,19 @@ def wand_topk(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
               n_segments: int = 64) -> DataFrame:
     """Top-k BM25 over the blocked index WITH inline dl
     (postings_blocked(..., ds=doc_stats)) using block-max pruning.
-    Rank- and score-identical to bm25_topk (property-gated)."""
-    span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
+    Rank- and score-identical to bm25_topk (property-gated).
+
+    The doc-range grouping key comes from the index's own ``salt``
+    column when present (postings_blocked stamps each block with the
+    range it was built in), so correctness cannot depend on the caller
+    passing the same ``salt_buckets``/``n_docs`` the build used; the
+    parameter-derived span is only a fallback for legacy indexes
+    without the column."""
+    if "salt" in index_dl.columns:
+        range_col = F.col("salt").cast("int")
+    else:
+        span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
+        range_col = (F.col("first_doc_id") / span).cast("int")
     hits = (
         index_dl.join(F.broadcast(qterms), "term", "inner")
         .select(
@@ -173,7 +184,7 @@ def wand_topk(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
             F.transform("postings", lambda p: p["doc_id"]).alias("doc_ids"),
             F.transform("postings", lambda p: p["tf"]).alias("tfs"),
             F.transform("postings", lambda p: p["dl"]).alias("dls"),
-            (F.col("first_doc_id") / span).cast("int").alias("_range"),
+            range_col.alias("_range"),
         )
     )
 

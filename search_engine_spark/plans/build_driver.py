@@ -58,6 +58,34 @@ def _is_done(out_dir: str, stage: str) -> bool:
     return os.path.exists(_marker(out_dir, stage))
 
 
+def _read_marker(out_dir: str, stage: str) -> dict | None:
+    """Marker contents, or None if absent/corrupt. A truncated marker
+    (crash mid-write before markers became atomic) must read as NOT
+    committed, never as a skippable stage with garbage metrics."""
+    try:
+        with open(_marker(out_dir, stage)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_marker_atomic(out_dir: str, stage: str, rec: dict) -> None:
+    """Temp-file + os.rename in the same directory: POSIX rename is
+    atomic, so a crash leaves either the old marker or the complete new
+    one — never a half-written file that resume would trust."""
+    final = _marker(out_dir, stage)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.rename(tmp, final)
+
+
+# Stages whose committed LAYOUT depends on build parameters. Upstream
+# stages (doc_map/term_counts/doc_stats/term_stats) are pure functions
+# of the input corpus and stay reusable across config changes.
+_CONFIG_STAGES = frozenset({"index", "meta"})
+
+
 def _file_manifest(path: str) -> list[dict]:
     """Per-partition lineage: the parquet part files a stage committed."""
     out = []
@@ -105,6 +133,15 @@ class CheckpointedBuild:
 
     # -- plumbing ------------------------------------------------------
 
+    @property
+    def config(self) -> dict:
+        """The layout-defining build parameters; stamped into every
+        stage marker so resume can detect a config change (the docstring
+        contract the round-1 code promised but never checked)."""
+        return {"salt_buckets": self.salt_buckets, "block": self.block,
+                "n_term_buckets": self.n_term_buckets,
+                "compress": self.compress, "inline_dl": self.inline_dl}
+
     def _log(self, rec: dict) -> None:
         self.metrics.append(rec)
         with open(os.path.join(self.out_dir, "_metrics", "metrics.jsonl"), "a") as f:
@@ -113,11 +150,27 @@ class CheckpointedBuild:
     def _read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir, stage))
 
+    def _reusable(self, stage: str) -> bool:
+        """Committed AND (for layout-dependent stages) built with THIS
+        run's config. A marker with different salt/block/bucket/codec
+        params describes a different physical layout — reusing it would
+        let open_index misreport the layout and silently split wand
+        scores across mismatched salt spans."""
+        rec = _read_marker(self.out_dir, stage)
+        if rec is None:
+            return False
+        if stage in _CONFIG_STAGES and rec.get("config") != self.config:
+            self._log({"stage": stage, "status": "rebuild_config_mismatch",
+                       "marker_config": rec.get("config"),
+                       "run_config": self.config})
+            return False
+        return True
+
     def _commit(self, stage: str, df: DataFrame, lineage: list[str],
                 extra: dict | None = None,
                 partition_by: list[str] | None = None) -> DataFrame:
         path = os.path.join(self.out_dir, stage)
-        if self.resume and _is_done(self.out_dir, stage):
+        if self.resume and self._reusable(stage):
             self._log({"stage": stage, "status": "skipped_resume",
                        "lineage": lineage})
             return self._read(stage)
@@ -130,9 +183,9 @@ class CheckpointedBuild:
         rows = committed.count()
         rec = {"stage": stage, "status": "built", "rows": rows,
                "duration_s": round(time.time() - t0, 3), "lineage": lineage,
+               "config": self.config,
                "partitions": _file_manifest(path), **(extra or {})}
-        with open(_marker(self.out_dir, stage), "w") as f:
-            json.dump(rec, f)
+        _write_marker_atomic(self.out_dir, stage, rec)
         self._log(rec)
         return committed
 
@@ -177,12 +230,12 @@ class CheckpointedBuild:
                 "n_term_buckets": self.n_term_buckets,
                 "compressed": self.compress, "inline_dl": self.inline_dl}
         meta_stage = os.path.join(self.out_dir, "meta")
-        if not (self.resume and _is_done(self.out_dir, "meta")):
+        if not (self.resume and self._reusable("meta")):
             os.makedirs(meta_stage, exist_ok=True)
-            with open(_marker(self.out_dir, "meta"), "w") as f:
-                json.dump({"stage": "meta", "status": "built",
-                           "lineage": ["doc_map", "doc_stats"],
-                           "extra": meta}, f)
+            _write_marker_atomic(self.out_dir, "meta",
+                                 {"stage": "meta", "status": "built",
+                                  "lineage": ["doc_map", "doc_stats"],
+                                  "config": self.config, "extra": meta})
         self._log({"stage": "meta", "status": "built", "extra": meta,
                    "lineage": ["doc_map", "doc_stats"]})
         _ = idx_df
@@ -227,6 +280,13 @@ class OpenedIndex:
                 F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
                 .cast("int").alias("b")).distinct().collect()]
             idx = idx.where(F.col("term_bucket").isin(buckets))
+            # partition pruning narrows the SCAN to query buckets; the
+            # term semi-join below narrows the DECODE — without it every
+            # non-query term sharing a surviving bucket would still run
+            # through the pandas decode UDF (the join cannot be pushed
+            # below a UDF projection by Catalyst)
+            idx = idx.join(F.broadcast(qterms.select("term").distinct()),
+                           "term", "leftsemi")
         idx = idx.drop("term_bucket")
         return decode_index(idx) if self.compressed else idx
 
