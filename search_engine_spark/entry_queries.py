@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .conf import (BM25_B, BM25_K1, PIVOT, PIVOT_SLOPE, QUERY_SET, TOKEN_RE,
-                   load_stopwords)
+                   TOP_K_TREC, load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -225,6 +225,25 @@ def q_tiered_topk(spark, sf_dir):
     return tiered_topk(docs, q, n_docs, k=10)
 
 
+def q_bm25_topk_trec(spark, sf_dir):
+    """TREC-depth BM25: k = TOP_K_TREC = 1000, the reference's run
+    preset (src/run:25,31,36; eval cutoff -M1000 at run:40). Deep k
+    exercises the per-qid top-k window — and downstream, WAND's θ
+    convergence — very differently from k=10."""
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=TOP_K_TREC)
+
+
+def q_bm25_topk_conj(spark, sf_dir):
+    """Conjunctive (AND-semantics) BM25 — docs containing EVERY query
+    term (reference DAAT intent, src/invertedIndex.py:305-492)."""
+    from .operators.query import bm25_topk_conj
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_topk_conj(tc, ds, ts, q, n_docs, avgdl, k=10)
+
+
 def q_smart_nnc(spark, sf_dir):
     tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
     return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="nnc.nnn", k=10)
@@ -233,6 +252,21 @@ def q_smart_nnc(spark, sf_dir):
 def q_smart_ltu(spark, sf_dir):
     tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
     return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="ltu.nnn", k=10)
+
+
+def q_smart_lnc_ltc(spark, sf_dir):
+    """lnc.ltc — the classic SMART preset from the reference's published
+    sweep (src/data.csv:8 col 4, MAP 0.0894): log-tf cosine-normalized
+    docs × log-tf idf cosine-normalized queries."""
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="lnc.ltc", k=10)
+
+
+def q_smart_btn_ltc(spark, sf_dir):
+    """btn.ltc — boolean-tf idf docs (src/data.csv:8 col 7, MAP
+    0.2063) × log-tf idf cosine-normalized queries."""
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="btn.ltc", k=10)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -394,6 +428,31 @@ FROM tc"""
     sql["bm25_topk_indexed"] = _bm25_sql(k=10)
     sql["wand_topk"] = _bm25_sql(k=10)
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
+    sql["bm25_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
+
+    sql["bm25_topk_conj"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qn AS (SELECT qid, count(*)::BIGINT AS nq FROM q GROUP BY qid),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score, count(*)::BIGINT AS nt
+           FROM hits GROUP BY qid, doc_id),
+conj AS (SELECT s.qid, s.doc_id, s.score
+         FROM scored s JOIN qn USING (qid) WHERE s.nt = qn.nq),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM conj)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
     sql["map_eval"] = f"""
 WITH {_bm25_ctes()},
@@ -500,6 +559,52 @@ hits AS (
          (((1.0 + log10(tc.tf::DOUBLE)) * log10((SELECT n FROM n) / ts.df::DOUBLE))
           / ({PIVOT_SLOPE} * ds.uniq + {pivot_c})) AS partial
   FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score FROM hits GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    # query cosine norm convention (shared with operators/query.py
+    # smart_topk and tests/oracle.py): sqrt over the tf-scheme weights
+    # of ALL query terms (missing ones included), BEFORE the idf
+    # component — per-qid constant, so rank-invariant either way
+    sql["smart_lnc_ltc"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qn AS (SELECT qid, sqrt(sum((1.0 + log10(qtf::DOUBLE)) * (1.0 + log10(qtf::DOUBLE)))) AS qnorm
+       FROM q GROUP BY qid),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         ((1.0 + log10(q.qtf::DOUBLE)) / qn.qnorm
+          * log10((SELECT n FROM n) / ts.df::DOUBLE))
+         * ((1.0 + log10(tc.tf::DOUBLE)) / ds.len_l2) AS partial
+  FROM q JOIN qn USING (qid) JOIN tc USING (term)
+       JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score FROM hits GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["smart_btn_ltc"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qn AS (SELECT qid, sqrt(sum((1.0 + log10(qtf::DOUBLE)) * (1.0 + log10(qtf::DOUBLE)))) AS qnorm
+       FROM q GROUP BY qid),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         ((1.0 + log10(q.qtf::DOUBLE)) / qn.qnorm
+          * log10((SELECT n FROM n) / ts.df::DOUBLE))
+         * log10((SELECT n FROM n) / ts.df::DOUBLE) AS partial
+  FROM q JOIN qn USING (qid) JOIN tc USING (term)
+       JOIN ts USING (term) JOIN ds USING (doc_id)
 ),
 scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score FROM hits GROUP BY 1, 2),
 ranked AS (SELECT qid, doc_id, score,
@@ -747,12 +852,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "wand_topk": q_wand_topk,
     "bm25_topk_varbyte": q_bm25_topk_varbyte,
+    "bm25_topk_trec": q_bm25_topk_trec,
+    "bm25_topk_conj": q_bm25_topk_conj,
     "tiered_topk": q_tiered_topk,
     "map_eval": q_map_eval,
     "media_features": q_media_features,
     "media_stats": q_media_stats,
     "smart_nnc": q_smart_nnc,
     "smart_ltu": q_smart_ltu,
+    "smart_lnc_ltc": q_smart_lnc_ltc,
+    "smart_btn_ltc": q_smart_btn_ltc,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,

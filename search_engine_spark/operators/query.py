@@ -199,19 +199,30 @@ def smart_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     ddd, qqq = scheme.split(".")
     spark = tc.sparkSession
 
-    # driver-side query weights (A9 + R1 query side + R4)
+    # driver-side query weights (A9 + R1 query side + R4). The full tf
+    # alphabet applies on the query side too, using the QUERY's own tf
+    # vector for max/ave ('a' augmented, 'L' log-average). Reference
+    # note: calculateWeightOfTerm with doc=None silently degrades 'a'
+    # to natural and crashes on 'L' (src/invertedIndex.py:183-189);
+    # we implement the textbook forms instead and note the divergence.
     qrows = []
     for qid, title in query_set:
         counts = Counter(tokenize_py(title))
         raw = {t: c for t, c in counts.items()}
+        max_qtf = max(raw.values()) if raw else 1
+        ave_qtf = (sum(raw.values()) / len(raw)) if raw else 1.0
         qws = {}
         for t, qtf in raw.items():
             if qqq[0] == "n":
                 w = float(qtf)
             elif qqq[0] == "l":
                 w = 1.0 + math.log10(qtf)
+            elif qqq[0] == "a":
+                w = 0.5 + 0.5 * qtf / max_qtf
             elif qqq[0] == "b":
                 w = 1.0
+            elif qqq[0] == "L":
+                w = (1.0 + math.log10(qtf)) / (1.0 + math.log10(ave_qtf))
             else:
                 raise ValueError(f"query tf scheme {qqq[0]!r}")
             qws[t] = w
@@ -245,6 +256,41 @@ def smart_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
         hits.select("qid", "doc_id", (qw * dw).alias("partial"))
         .groupBy("qid", "doc_id")
         .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, k)
+
+
+def bm25_topk_conj(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                   qterms: DataFrame, n_docs: int, avgdl: float,
+                   k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+                   b: float = BM25_B) -> DataFrame:
+    """Conjunctive (AND-semantics) BM25 top-k: only documents containing
+    EVERY query term are scored (reference's unfinished DAAT cursor walk
+    is an AND-intersection, src/invertedIndex.py:305-492 — the Spark
+    expression of the same semantics is a HAVING matched-terms ==
+    query-terms filter on the TAAT aggregate, no cursor state needed).
+
+    Strict AND: a query with an out-of-vocabulary term matches nothing
+    (its required-term count can never be reached). The filter rides on
+    the groupBy the disjunctive path already does — zero extra shuffles,
+    and at scale the candidate set only shrinks."""
+    qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
+    # required-term count per qid is over ALL query terms, incl. OOV
+    qn = F.broadcast(qterms.groupBy("qid").agg(F.count("*").alias("_qn")))
+    hits = tc.join(qdict, "term", "inner").join(ds.select("doc_id", "dl"), "doc_id")
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
+    scored = (
+        hits.select("qid", "doc_id", partial.alias("partial"))
+        .groupBy("qid", "doc_id")
+        # (doc_id, term) is unique in tc and (qid, term) in qterms, so
+        # the row count IS the number of distinct matched query terms
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("_nt"))
+        .join(qn, "qid")
+        .where(F.col("_nt") == F.col("_qn"))
+        .select("qid", "doc_id", "score")
     )
     return _topk(scored, k)
 

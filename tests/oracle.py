@@ -75,6 +75,17 @@ class OracleIndex:
                         key=lambda x: (-x[0], x[1]))[:k]
         return [(d, i + 1, s) for i, (s, d) in enumerate(ranked)]
 
+    def bm25_topk_conj(self, title: str, k: int,
+                       k1: float = BM25_K1, b: float = BM25_B) -> list[tuple[int, int, float]]:
+        """AND-semantics BM25: filter-based oracle — score exactly like
+        bm25_topk but keep only docs whose term set covers EVERY query
+        term (strict: an OOV query term means no doc qualifies)."""
+        need = set(Counter(tokenize_py(title)))
+        full = self.bm25_topk(title, k=self.N or 1)
+        keep = [(d, s) for d, _, s in full
+                if need and need <= set(self.tf.get(d, ()))]
+        return [(d, i + 1, s) for i, (d, s) in enumerate(keep[:k])]
+
     # --- SMART ddd.qqq (reference calculateWeightOfTerm :171-202) ------
     def _tf_w(self, scheme: str, tf: int, doc_id: int) -> float:
         if scheme == "n":
@@ -103,13 +114,19 @@ class OracleIndex:
         ddd, qqq = scheme.split(".")
         qcounts = Counter(tokenize_py(title))
         qws: dict[str, float] = {}
+        max_qtf = max(qcounts.values()) if qcounts else 1
+        ave_qtf = (sum(qcounts.values()) / len(qcounts)) if qcounts else 1.0
         for t, qtf in qcounts.items():
             if qqq[0] == "n":
                 w = float(qtf)
             elif qqq[0] == "l":
                 w = 1.0 + math.log10(qtf)
+            elif qqq[0] == "a":
+                w = 0.5 + 0.5 * qtf / max_qtf
             elif qqq[0] == "b":
                 w = 1.0
+            elif qqq[0] == "L":
+                w = (1.0 + math.log10(qtf)) / (1.0 + math.log10(ave_qtf))
             else:
                 raise ValueError(qqq)
             qws[t] = w

@@ -73,11 +73,26 @@ def test_bm25_index_path_rank_identity(spark, built):
 
 
 @pytest.mark.parametrize("scheme", ["nnc.nnn", "nnn.nnn", "ltc.ltc", "ltu.nnn",
-                                    "bnc.ltc", "ann.nnn", "Ltu.nnn", "npc.ltc"])
+                                    "bnc.ltc", "ann.nnn", "Ltu.nnn", "npc.ltc",
+                                    # query-side augmented / log-average tf
+                                    "lnc.anc", "lnc.Ltc", "lnc.ltc", "btn.ltc"])
 def test_smart_rank_identity(spark, built, scheme):
     _, tc, ds, ts_, idx, cs, oracle = built
     got = _collect(smart_topk(tc, ds, ts_, QUERIES, cs["N"], scheme=scheme, k=10))
     _assert_rank_identical(got, lambda t, k: oracle.smart_topk(t, k, scheme), 10)
+
+
+@pytest.mark.parametrize("k", [3, 10])
+def test_bm25_conjunctive_rank_identity(spark, built, k):
+    """AND-semantics mode vs the filter-based oracle: same scores as
+    disjunctive BM25, restricted to docs containing every query term;
+    full-miss and partial-miss queries return nothing."""
+    from search_engine_spark.operators.query import bm25_topk_conj
+    _, tc, ds, ts_, idx, cs, oracle = built
+    q = query_terms_df(spark, QUERIES)
+    got = _collect(bm25_topk_conj(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=k))
+    _assert_rank_identical(got, oracle.bm25_topk_conj, k)
+    assert "q3" not in got and "q4" not in got  # OOV term ⇒ empty under AND
 
 
 def test_trec_export_format(spark, built):
