@@ -195,6 +195,35 @@ def q_wand_topk(spark, sf_dir):
     return wand_topk(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
 
 
+def q_wand_topk_hybrid(spark, sf_dir):
+    """All-JVM block-max path (champion θ floor + per-block bound
+    filter + codegen scoring) — same oracle as bm25_topk, proving the
+    pruning is rank/score-lossless."""
+    from .operators.wand import wand_topk_hybrid
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    n_docs = docs.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    q = query_terms_df(spark, QUERY_SET)
+    return wand_topk_hybrid(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
+
+
+def q_wand_topk_maxscore(spark, sf_dir):
+    """MaxScore-strategy pruning (essential/non-essential term split +
+    candidate probes) — same oracle as bm25_topk: lossless by gate."""
+    from .operators.wand import wand_topk_maxscore
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    n_docs = docs.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    q = query_terms_df(spark, QUERY_SET)
+    return wand_topk_maxscore(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
+
+
 def q_bm25_topk_varbyte(spark, sf_dir):
     """BM25 served through the FULL compressed path: blocked index →
     delta-gap+varbyte encode → decode → score. Same oracle as
@@ -427,6 +456,8 @@ FROM tc"""
     sql["bm25_topk"] = _bm25_sql(k=10)
     sql["bm25_topk_indexed"] = _bm25_sql(k=10)
     sql["wand_topk"] = _bm25_sql(k=10)
+    sql["wand_topk_hybrid"] = _bm25_sql(k=10)
+    sql["wand_topk_maxscore"] = _bm25_sql(k=10)
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
     sql["bm25_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
 
@@ -851,6 +882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "wand_topk": q_wand_topk,
+    "wand_topk_hybrid": q_wand_topk_hybrid,
+    "wand_topk_maxscore": q_wand_topk_maxscore,
     "bm25_topk_varbyte": q_bm25_topk_varbyte,
     "bm25_topk_trec": q_bm25_topk_trec,
     "bm25_topk_conj": q_bm25_topk_conj,

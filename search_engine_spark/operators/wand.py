@@ -17,7 +17,9 @@ blocks inside per-salt runs), so **every document's complete score for
 a query lives in exactly one (qid, range) group**:
 
     index blocks ⨝ broadcast(query terms)          [semi-join prune]
-      → groupBy(qid, range).applyInPandas(scorer)  [numpy block-max walk]
+      → champion-block pass (JVM)                  [θ floor from top-ub blocks]
+      → range elimination (JVM)                    [Σ max-ub < θ ⇒ drop range]
+      → groupBy(qid, range).applyInPandas(scorer)  [numpy block-max walk, θ-seeded]
       → union of local top-k → global window top-k [exact merge]
 
 Inside a group the scorer:
@@ -52,18 +54,24 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conf import BM25_B, BM25_K1, SALT_BUCKETS, TOP_K_DEFAULT
 from .query import _topk
 
 _OUT_SCHEMA = "qid string, doc_id long, score double"
+_STATS_SCHEMA = ("qid string, range int, n_segments int, n_scored_segments int, "
+                 "n_postings long, n_postings_scored long")
 _PRUNE_MARGIN = 2e-6  # > 1e-6 rounding quantum of the rank contract
 
 
 def _score_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
-                 k1: float, b: float, n_segments: int) -> pd.DataFrame:
+                 k1: float, b: float, n_segments: int,
+                 collect_stats: bool = False) -> pd.DataFrame:
     """Exact local top-k for one (qid, doc-range) group with block-max
-    segment pruning. Returns ≤ k rows (qid, doc_id, raw score)."""
+    segment pruning. Returns ≤ k rows (qid, doc_id, raw score); with
+    ``collect_stats`` returns instead ONE row of pruning evidence
+    (segments visited vs total, postings exact-scored vs present)."""
     qid = pdf["qid"].iloc[0]
 
     # per-term flattening: postings arrive block-ordered by first_doc_id
@@ -112,8 +120,18 @@ def _score_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     # (round(score, 6) DESC, doc_id ASC)
     top_scores = np.empty(0, dtype=np.float64)
     top_docs = np.empty(0, dtype=np.int64)
-    theta = -np.inf
+    # θ seed: the champion-pass global lower bound (column `_theta0`,
+    # see wand_topk) — at least k docs are known to reach it, so any
+    # segment bounded below it prunes IMMEDIATELY, before this group
+    # has scored anything locally.
+    theta0 = -np.inf
+    if "_theta0" in pdf.columns:
+        v = pdf["_theta0"].iloc[0]
+        if v is not None and not pd.isna(v):
+            theta0 = float(v)
+    theta = theta0
     n_scored_segments = 0
+    n_postings_scored = 0
     for si in order:
         if seg_ub[si] <= 0.0:
             break
@@ -129,6 +147,7 @@ def _score_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
             z = np.searchsorted(t["doc_ids"], d_hi, side="left")
             if a == z:
                 continue
+            n_postings_scored += int(z - a)
             tf = t["tfs"][a:z]
             dl = t["dls"][a:z]
             sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -148,8 +167,18 @@ def _score_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
         sel = np.lexsort((all_docs, -r))[:k]
         top_docs, top_scores = all_docs[sel], all_scores[sel]
         if top_docs.size >= k:
-            theta = top_scores.min()
+            # local k-th best can be below the global seed — θ never drops
+            theta = max(theta0, top_scores.min())
 
+    if collect_stats:
+        return pd.DataFrame({
+            "qid": [qid],
+            "range": [int(pdf["_range"].iloc[0])],
+            "n_segments": [int(n_seg)],
+            "n_scored_segments": [int(n_scored_segments)],
+            "n_postings": [int(sum(t["doc_ids"].size for t in terms))],
+            "n_postings_scored": [int(n_postings_scored)],
+        })
     return pd.DataFrame({
         "qid": np.repeat(qid, top_docs.size),
         "doc_id": top_docs,
@@ -160,10 +189,17 @@ def _score_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
 def wand_topk(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
               avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
               b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
-              n_segments: int = 64) -> DataFrame:
+              n_segments: int = 64,
+              champion_blocks: int | None = None) -> DataFrame:
     """Top-k BM25 over the blocked index WITH inline dl
     (postings_blocked(..., ds=doc_stats)) using block-max pruning.
     Rank- and score-identical to bm25_topk (property-gated).
+
+    Pruning happens at three granularities, coarsest first:
+    JVM-side range elimination + θ seeding from a champion-block pass
+    (_pruned_hits — blocks of eliminated ranges are never transferred
+    to Python), then per-segment bound pruning inside the Arrow scorer,
+    with exact scoring only for surviving segments.
 
     The doc-range grouping key comes from the index's own ``salt``
     column when present (postings_blocked stamps each block with the
@@ -171,25 +207,368 @@ def wand_topk(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     passing the same ``salt_buckets``/``n_docs`` the build used; the
     parameter-derived span is only a fallback for legacy indexes
     without the column."""
-    if "salt" in index_dl.columns:
-        range_col = F.col("salt").cast("int")
-    else:
-        span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
-        range_col = (F.col("first_doc_id") / span).cast("int")
-    hits = (
-        index_dl.join(F.broadcast(qterms), "term", "inner")
-        .select(
-            "qid", "qtf", "term", "df",
-            "first_doc_id", "last_doc_id", "block_max_tf", "block_min_dl",
-            F.transform("postings", lambda p: p["doc_id"]).alias("doc_ids"),
-            F.transform("postings", lambda p: p["tf"]).alias("tfs"),
-            F.transform("postings", lambda p: p["dl"]).alias("dls"),
-            range_col.alias("_range"),
-        )
-    )
+    if champion_blocks is None:
+        champion_blocks = _default_champions(k)
+    hits = _pruned_hits(index_dl, qterms, n_docs, avgdl, k, k1, b,
+                        salt_buckets, champion_blocks)
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_group(pdf, n_docs, avgdl, k, k1, b, n_segments)
 
     local = hits.groupBy("qid", "_range").applyInPandas(scorer, schema=_OUT_SCHEMA)
     return _topk(local, k)
+
+
+def _range_col(index_dl: DataFrame, n_docs: int, salt_buckets: int) -> F.Column:
+    if "salt" in index_dl.columns:
+        return F.col("salt").cast("int")
+    span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
+    return (F.col("first_doc_id") / span).cast("int")
+
+
+def _block_meta(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
+                avgdl: float, k1: float, b: float, salt_buckets: int) -> DataFrame:
+    """NARROW per-block metadata for query terms — no posting arrays
+    touched. `_ub` = per-block score upper bound, pure column math (the
+    broadcast term-dict lookup of the north rule, extended with the
+    block-max saturation bound)."""
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
+    bmax = F.col("block_max_tf").cast("double")
+    ub = (F.col("qtf") * idf * bmax * (k1 + 1.0)
+          / (bmax + k1 * (1.0 - b + b * F.col("block_min_dl") / F.lit(avgdl))))
+    return (
+        index_dl.join(F.broadcast(qterms), "term", "inner")
+        .select("qid", "qtf", "term", "df", "first_doc_id",
+                _range_col(index_dl, n_docs, salt_buckets).alias("_range"),
+                ub.alias("_ub"))
+    )
+
+
+def _default_champions(k: int) -> int:
+    """Enough champion blocks that the pass almost surely covers ≥ k
+    distinct docs even when high-ub blocks are tiny (a rare term whose
+    per-salt runs hold a single posting still yields a θ floor — the
+    exact case where pruning pays most). Champion cost is bounded by
+    champion_blocks × block postings per qid, all JVM-side."""
+    return max(16, 2 * ((k + 127) // 128) + 8)
+
+
+def _theta_floor(index_dl: DataFrame, meta: DataFrame, n_docs: int,
+                 avgdl: float, k: int, k1: float, b: float,
+                 champion_blocks: int) -> DataFrame:
+    """Champion-block pass: exact-score only the ``champion_blocks``
+    highest-ub blocks per qid (a few hundred postings — plain explode +
+    groupBy, JVM-side). A doc's partial sum over a block subset is a
+    LOWER bound of its true score, so the k-th best such bound
+    ``_theta0`` is ≤ the true k-th best score: a sound global θ floor
+    with ≥ k docs known to reach it. Empty (no row for a qid) when the
+    pass covers < k docs — callers treat that as 'no pruning'."""
+    w_c = Window.partitionBy("qid").orderBy(F.desc("_ub"), "term", "first_doc_id")
+    champ_keys = (meta.withColumn("_cr", F.row_number().over(w_c))
+                  .where(F.col("_cr") <= champion_blocks)
+                  .select("qid", "qtf", "term", "first_doc_id"))
+    champ = index_dl.join(F.broadcast(champ_keys), ["term", "first_doc_id"])
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
+    pe = champ.select("qid", "qtf", idf.alias("_idf"),
+                      F.explode("postings").alias("p"))
+    tf = F.col("p.tf").cast("double")
+    sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("p.dl") / F.lit(avgdl)))
+    lb = (pe.select("qid", F.col("p.doc_id").alias("doc_id"),
+                    (F.col("qtf") * F.col("_idf") * sat).alias("partial"))
+          .groupBy("qid", "doc_id").agg(F.sum("partial").alias("_lb")))
+    w_k = Window.partitionBy("qid").orderBy(F.desc("_lb"), "doc_id")
+    return (lb.withColumn("_rk", F.row_number().over(w_k))
+            .where(F.col("_rk") == k).select("qid", F.col("_lb").alias("_theta0")))
+
+
+def _pruned_hits(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
+                 avgdl: float, k: int, k1: float, b: float,
+                 salt_buckets: int, champion_blocks: int | None) -> DataFrame:
+    """Range-level pruning + θ seeding for the mapInPandas scorer, all
+    JVM-side, BEFORE any posting array crosses into Python.
+
+    1. champion θ floor (_theta_floor);
+    2. drop every (qid, range) whose bound Σ_terms max(block ub) falls
+       below _theta0 − margin — no doc there can reach the top-k, so
+       its blocks are never transferred or scored. For the canonical
+       hot∧rare query this eliminates every range the rare term doesn't
+       touch;
+    3. seed the surviving groups' scorers with _theta0 so segment
+       pruning is active from the first segment.
+
+    The posting→array transforms run AFTER the range filter, so
+    eliminated blocks never pay the projection either."""
+    meta = _block_meta(index_dl, qterms, n_docs, avgdl, k1, b, salt_buckets)
+    arrays = (
+        index_dl.join(F.broadcast(qterms), "term", "inner")
+        .select(
+            "qid", "qtf", "term", "df",
+            "first_doc_id", "last_doc_id", "block_max_tf", "block_min_dl",
+            "postings",
+            _range_col(index_dl, n_docs, salt_buckets).alias("_range"),
+        )
+    )
+    if not champion_blocks:
+        hits = arrays.withColumn("_theta0", F.lit(None).cast("double"))
+    else:
+        theta = _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b,
+                             champion_blocks)
+        # range upper bound: Σ over query terms of the best block ub
+        rub = (meta.groupBy("qid", "_range", "term").agg(F.max("_ub").alias("_tu"))
+               .groupBy("qid", "_range").agg(F.sum("_tu").alias("_rub")))
+        keep = (rub.join(F.broadcast(theta), "qid", "left")
+                .where(F.col("_theta0").isNull()
+                       | (F.col("_rub") >= F.col("_theta0") - _PRUNE_MARGIN))
+                .select("qid", "_range"))
+        hits = (arrays.join(F.broadcast(keep), ["qid", "_range"], "leftsemi")
+                .join(F.broadcast(theta), "qid", "left"))
+    return hits.select(
+        "qid", "qtf", "term", "df",
+        "first_doc_id", "last_doc_id", "block_max_tf", "block_min_dl", "_range",
+        F.transform("postings", lambda p: p["doc_id"]).alias("doc_ids"),
+        F.transform("postings", lambda p: p["tf"]).alias("tfs"),
+        F.transform("postings", lambda p: p["dl"]).alias("dls"),
+        "_theta0")
+
+
+def wand_topk_hybrid(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
+                     avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+                     b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
+                     champion_blocks: int | None = None) -> DataFrame:
+    """Block-max pruned BM25 executed ENTIRELY JVM-side: champion θ
+    floor → per-block sound bound filter → exact whole-stage-codegen
+    scoring of the surviving blocks. Rank/score-identical to bm25_topk.
+
+    Per-block bound (blocks never straddle a salt range):
+        bound(β of term t in range r) = ub(β) + Σ_{t'≠t} max_ub(t', r)
+    Every doc in β is inside r, and its t'-contribution is bounded by
+    the best t'-block ub of r, so bound(β) ≥ the true score of every
+    doc in β. Dropping β when bound < θ0 − margin therefore only drops
+    docs that cannot reach the top-k; and every true top-k doc's blocks
+    all survive (each such block's bound ≥ that doc's score ≥ θ ≥ θ0),
+    so surviving docs that matter are scored EXACTLY. Partially-scored
+    also-rans sit > 2 rounding quanta below θ0 and cannot flip a rank
+    even at the 6-dp tie boundary.
+
+    vs the mapInPandas scorer (wand_topk): no Arrow transfer at all and
+    exact scoring stays inside codegen, at the cost of coarser pruning
+    granularity (block × range instead of segment). At query time pick
+    this one when the corpus is JVM-resident; the pandas scorer remains
+    the north-rule mapInPandas surface and prunes finer."""
+    if champion_blocks is None:
+        champion_blocks = _default_champions(k)
+    meta = _block_meta(index_dl, qterms, n_docs, avgdl, k1, b, salt_buckets)
+    theta = _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b, champion_blocks)
+    # bound tables are bounded by #queries × #ranges × #query-terms —
+    # broadcast-small at any corpus size (the index side is never
+    # re-shuffled; the keep decision is evaluated inline per block row)
+    tmax = meta.groupBy("qid", "_range", "term").agg(F.max("_ub").alias("_tu"))
+    rub = tmax.groupBy("qid", "_range").agg(F.sum("_tu").alias("_rub"))
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
+    bmax = F.col("block_max_tf").cast("double")
+    ub = (F.col("qtf") * idf * bmax * (k1 + 1.0)
+          / (bmax + k1 * (1.0 - b + b * F.col("block_min_dl") / F.lit(avgdl))))
+    kept = (
+        index_dl.join(F.broadcast(qterms), "term", "inner")
+        .select("qid", "qtf", "term", "df", "first_doc_id", "postings",
+                _range_col(index_dl, n_docs, salt_buckets).alias("_range"),
+                ub.alias("_ub"))
+        .join(F.broadcast(tmax), ["qid", "_range", "term"])
+        .join(F.broadcast(rub), ["qid", "_range"])
+        .join(F.broadcast(theta), "qid", "left")
+        .where(F.col("_theta0").isNull()
+               | (F.col("_ub") - F.col("_tu") + F.col("_rub")
+                  >= F.col("_theta0") - _PRUNE_MARGIN))
+    )
+    flat = kept.select("qid", "qtf", "df", F.explode("postings").alias("p"))
+    tf = F.col("p.tf").cast("double")
+    sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("p.dl") / F.lit(avgdl)))
+    scored = (flat.select("qid", F.col("p.doc_id").alias("doc_id"),
+                          (F.col("qtf") * idf * sat).alias("partial"))
+              .groupBy("qid", "doc_id").agg(F.sum("partial").alias("score")))
+    return _topk(scored, k)
+
+
+def wand_topk_maxscore(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
+                       avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+                       b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
+                       champion_blocks: int | None = None,
+                       probe_max_candidates: int = 100_000,
+                       block_skip_min_df: int = 50_000) -> DataFrame:
+    """MaxScore-strategy top-k BM25, all JVM-side. Rank/score-identical
+    to bm25_topk (property- and oracle-gated).
+
+    Per qid, query terms split by whole-term upper bound U_t = max block
+    ub against the champion θ floor: the NON-ESSENTIAL set is the
+    largest ascending-U prefix with Σ U_t < θ0 − margin. A doc touching
+    only non-essential terms is bounded by that sum, so it cannot reach
+    the top-k; every candidate therefore appears in some ESSENTIAL
+    term's postings. Essential lists are scored exhaustively; the
+    non-essential (typically hot, low-idf) lists contribute only via a
+    candidate semi-join — their tails are never aggregated. The
+    canonical hot∧rare query thus reduces to: score the rare list, then
+    probe the hot list for just those docs. All-hot queries degrade
+    gracefully to the exhaustive plan (every term essential, no join).
+
+    Driver-side work is one U_t row per (qid, query term) and one θ row
+    per qid — bounded by the query set, never by the corpus."""
+    spark = index_dl.sparkSession
+    if champion_blocks is None:
+        champion_blocks = _default_champions(k)
+    meta = _block_meta(index_dl, qterms, n_docs, avgdl, k1, b, salt_buckets)
+    # ONE light job yields both the per-(qid, term) upper bound U_t and
+    # the champion block ids (top-ub blocks per qid, window-flagged
+    # before the agg) — driver rows bounded by the query set.
+    w_c = Window.partitionBy("qid").orderBy(F.desc("_ub"), "term", "first_doc_id")
+    stats = (meta.withColumn("_cr", F.row_number().over(w_c))
+             .groupBy("qid", "term", "qtf")
+             .agg(F.max("_ub").alias("u"),
+                  F.first("df").alias("df"),
+                  F.collect_list(F.when(F.col("_cr") <= champion_blocks,
+                                        F.col("first_doc_id"))).alias("champs"))
+             .collect())
+    champ_rows = [(r.qid, r.qtf, r.term, int(f))
+                  for r in stats for f in r.champs]
+    theta: dict[str, float] = {}
+    if champ_rows:
+        champ_keys = spark.createDataFrame(
+            champ_rows, "qid string, qtf int, term string, first_doc_id long")
+        champ = index_dl.join(F.broadcast(champ_keys), ["term", "first_doc_id"])
+        dfc0 = F.col("df").cast("double")
+        idf0 = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc0 + 0.5) / (dfc0 + 0.5))
+        pe = champ.select("qid", "qtf", idf0.alias("_idf"),
+                          F.explode("postings").alias("p"))
+        tf0 = F.col("p.tf").cast("double")
+        sat0 = tf0 * (k1 + 1.0) / (tf0 + k1 * (1.0 - b + b * F.col("p.dl") / F.lit(avgdl)))
+        lb = (pe.select("qid", F.col("p.doc_id").alias("doc_id"),
+                        (F.col("qtf") * F.col("_idf") * sat0).alias("partial"))
+              .groupBy("qid", "doc_id").agg(F.sum("partial").alias("_lb")))
+        w_k = Window.partitionBy("qid").orderBy(F.desc("_lb"), "doc_id")
+        theta = {r.qid: r._lb for r in
+                 lb.withColumn("_rk", F.row_number().over(w_k))
+                 .where(F.col("_rk") == k).select("qid", "_lb").collect()}
+    by_qid: dict[str, list] = {}
+    for r in stats:
+        by_qid.setdefault(r.qid, []).append(r)
+    ess_rows, non_rows = [], []
+    for qid, rows in by_qid.items():
+        th = theta.get(qid)
+        ess_q, non_q = [], []
+        if th is None:
+            ess_q = rows
+        else:
+            run = 0.0
+            for r in sorted(rows, key=lambda r: (r.u, r.term)):
+                if run + r.u < th - _PRUNE_MARGIN:
+                    run += r.u
+                    non_q.append(r)
+                else:
+                    ess_q.append(r)
+        # adaptive strategy per qid: the probe's candidate set is bounded
+        # by Σ df(essential) — KNOWN driver-side. A stopword∧stopword
+        # query would make the candidate side as big as the corpus and
+        # turn the semi-join into a full shuffle join, so such qids run
+        # exhaustively instead (probe only where it provably pays).
+        cand_bound = sum(r.df for r in ess_q)
+        if non_q and cand_bound > probe_max_candidates:
+            ess_q, non_q = rows, []
+        ess_rows += [(r.qid, r.term, r.qtf) for r in ess_q]
+        non_rows += [(r.qid, r.term, r.qtf, r.df, cand_bound) for r in non_q]
+
+    def _flat(q: DataFrame) -> DataFrame:
+        h = (index_dl.join(F.broadcast(q), "term", "inner")
+             .select("qid", "qtf", "df", F.explode("postings").alias("p")))
+        return h.select("qid", "qtf", "df",
+                        F.col("p.doc_id").alias("doc_id"),
+                        F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl"))
+
+    schema = "qid string, term string, qtf int"
+    he = _flat(spark.createDataFrame(ess_rows, schema))
+    parts = [he]
+    # Probes: a non-essential list contributes only for candidate docs.
+    # Candidate sets are ≤ probe_max_candidates per qid — broadcastable
+    # by construction — and the probe is a map-side broadcast semi-join
+    # (hot lists are never shuffled or aggregated). For a long hot list
+    # probed by FEW candidates, even the scan is skipped at BLOCK
+    # granularity (block_skip branch) — the Spark analogue of the
+    # reference's offsets.gz byte-seek into a posting list
+    # (src/invertedIndex.py:240-241).
+    plain = [(q, t, f) for q, t, f, df, cb in non_rows
+             if df < max(block_skip_min_df, 10 * max(cb, 1))]
+    skip = [(q, t, f) for q, t, f, df, cb in non_rows
+            if df >= max(block_skip_min_df, 10 * max(cb, 1))]
+    if plain:
+        qids = sorted({q for q, _, _ in plain})
+        cand = F.broadcast(he.where(F.col("qid").isin(qids))
+                           .select("qid", "doc_id"))
+        parts.append(_flat(spark.createDataFrame(plain, schema))
+                     .join(cand, ["qid", "doc_id"], "leftsemi"))
+    if skip:
+        qids = sorted({q for q, _, _ in skip})
+        cand_df = he.where(F.col("qid").isin(qids)).select("qid", "doc_id")
+        cand = F.broadcast(cand_df)
+        # block-containment made equi-joinable: bucket doc space at
+        # width W; a block spans ≤ span/W+1 buckets (pathologically wide
+        # blocks, > 64 buckets, are kept unconditionally rather than
+        # truncating coverage). The key subplan is NARROW — no posting
+        # arrays are scanned to decide which blocks survive.
+        W = 1024
+        cbuck = F.broadcast(
+            cand_df.select("qid", (F.col("doc_id") / W).cast("long").alias("_bk"))
+            .distinct())
+        qn = spark.createDataFrame(skip, schema)
+        nbk = (index_dl.join(F.broadcast(qn), "term", "inner")
+               .select("qid", "term", "first_doc_id", "last_doc_id"))
+        b0 = (F.col("first_doc_id") / W).cast("long")
+        b1 = (F.col("last_doc_id") / W).cast("long")
+        keys = F.broadcast(
+            nbk.where(b1 - b0 <= 64)
+            .select("qid", "term", "first_doc_id",
+                    F.explode(F.sequence(b0, b1)).alias("_bk"))
+            .join(cbuck, ["qid", "_bk"], "leftsemi")
+            .select("qid", "term", "first_doc_id").distinct()
+            .unionByName(nbk.where(b1 - b0 > 64)
+                         .select("qid", "term", "first_doc_id")))
+        touched = (index_dl.join(F.broadcast(qn), "term", "inner")
+                   .join(keys, ["qid", "term", "first_doc_id"], "leftsemi")
+                   .select("qid", "qtf", "df", F.explode("postings").alias("p"))
+                   .select("qid", "qtf", "df",
+                           F.col("p.doc_id").alias("doc_id"),
+                           F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl")))
+        parts.append(touched.join(cand, ["qid", "doc_id"], "leftsemi"))
+    hits = parts[0]
+    for p_ in parts[1:]:
+        hits = hits.unionByName(p_)
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
+    tf = F.col("tf").cast("double")
+    sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (hits.select("qid", "doc_id", (F.col("qtf") * idf * sat).alias("partial"))
+              .groupBy("qid", "doc_id").agg(F.sum("partial").alias("score")))
+    return _topk(scored, k)
+
+
+def wand_prune_stats(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
+                     avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+                     b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
+                     n_segments: int = 64,
+                     champion_blocks: int | None = None) -> DataFrame:
+    """Pruning evidence for the same pipeline wand_topk runs: one row
+    per SURVIVING (qid, range) with segments visited vs total and
+    postings exact-scored vs present; ranges the JVM pass dropped never
+    appear (bench.py derives the transfer savings by comparing against
+    the index's total query-term postings). On a degenerate
+    flat-vocabulary corpus every term is hot and nothing can prune."""
+    if champion_blocks is None:
+        champion_blocks = _default_champions(k)
+    hits = _pruned_hits(index_dl, qterms, n_docs, avgdl, k, k1, b,
+                        salt_buckets, champion_blocks)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_group(pdf, n_docs, avgdl, k, k1, b, n_segments,
+                            collect_stats=True)
+
+    return hits.groupBy("qid", "_range").applyInPandas(stats, schema=_STATS_SCHEMA)

@@ -51,6 +51,54 @@ def test_wand_equals_taat(spark, built, k):
     assert _rows(pruned) == _rows(exhaustive)
 
 
+@pytest.mark.parametrize("k", [1, 3, 10, 100])
+def test_wand_hybrid_equals_taat(spark, built, k):
+    """The all-JVM block-filtered path must also be rank/score-identical
+    to exhaustive TAAT at every k (incl. k past the corpus size)."""
+    tc, ds, ts_, idx_dl, cs = built
+    q = query_terms_df(spark, QUERIES)
+    exhaustive = bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=k)
+    hybrid = wand.wand_topk_hybrid(idx_dl, q, cs["N"], cs["avgdl"], k=k,
+                                   salt_buckets=4)
+    assert _rows(hybrid) == _rows(exhaustive)
+
+
+@pytest.mark.parametrize("k", [1, 3, 10, 100])
+def test_wand_maxscore_equals_taat(spark, built, k):
+    """MaxScore essential/non-essential split must be lossless at every
+    k — including k past the corpus size (θ floor absent)."""
+    tc, ds, ts_, idx_dl, cs = built
+    q = query_terms_df(spark, QUERIES)
+    exhaustive = bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=k)
+    ms = wand.wand_topk_maxscore(idx_dl, q, cs["N"], cs["avgdl"], k=k,
+                                 salt_buckets=4)
+    assert _rows(ms) == _rows(exhaustive)
+
+
+@pytest.mark.parametrize("k", [1, 3, 10])
+def test_wand_maxscore_block_skip_path(spark, built, k):
+    """Force the block-granularity probe-skip branch (block_skip_min_df
+    = 0 makes every probed term eligible) — must stay lossless."""
+    tc, ds, ts_, idx_dl, cs = built
+    q = query_terms_df(spark, QUERIES)
+    exhaustive = bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=k)
+    ms = wand.wand_topk_maxscore(idx_dl, q, cs["N"], cs["avgdl"], k=k,
+                                 salt_buckets=4, block_skip_min_df=0)
+    assert _rows(ms) == _rows(exhaustive)
+
+
+@pytest.mark.parametrize("champs", [0, 1, 2, 16, 1000])
+def test_wand_hybrid_champion_counts(spark, built, champs):
+    """Identical output whatever the champion budget — too few champions
+    must degrade to no pruning, never to wrong answers."""
+    tc, ds, ts_, idx_dl, cs = built
+    q = query_terms_df(spark, QUERIES[:4])
+    exhaustive = _rows(bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=5))
+    got = _rows(wand.wand_topk_hybrid(idx_dl, q, cs["N"], cs["avgdl"], k=5,
+                                      salt_buckets=4, champion_blocks=champs))
+    assert got == exhaustive
+
+
 def test_wand_segment_granularities(spark, built):
     """Pruning must be correct at any segment width (1 segment = no
     intra-range pruning; many = fine-grained)."""
