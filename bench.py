@@ -287,7 +287,7 @@ def main() -> None:
         import subprocess
         n_small, n_big = 2, 8
         have_taskset = shutil.which("taskset") is not None
-        max_passes = int(os.environ.get("BENCH_SCALE_MAX_PASSES", "4"))
+        max_passes = int(os.environ.get("BENCH_SCALE_MAX_PASSES", "5"))
         target_eff = float(os.environ.get("BENCH_SCALE_TARGET_EFF", "0.85"))
         samples: dict[int, list] = {n_small: [], n_big: []}
         turns: dict[int, int] = {}
