@@ -293,7 +293,12 @@ def main() -> None:
         turns: dict[int, int] = {}
 
         def run_level(c: int) -> None:
-            env = dict(os.environ, SCALE_RUN=str(c))
+            # the big level's runs are short, so a host stall inflates
+            # them proportionally more — take two timed samples per big
+            # subprocess (cheap) to give best-of more chances
+            env = dict(os.environ, SCALE_RUN=str(c),
+                       BENCH_SCALE_TIMED=os.environ.get(
+                           "BENCH_SCALE_TIMED", "2" if c == n_big else "1"))
             cmd = [sys.executable, os.path.abspath(__file__)]
             if have_taskset:
                 cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd

@@ -388,6 +388,41 @@ def q_map_eval(spark, sf_dir):
     return per_query_ap(results, _qrels(spark, sf_dir), depth=10)
 
 
+MAP_SWEEP_SCHEMES = ["nnc.nnn", "lnc.ltc", "btn.ltc", "ltu.nnn"]
+MAP_SWEEP_DEPTHS = [10, 100]
+
+
+def q_map_sweep(spark, sf_dir):
+    """MAP × (scheme, k) grid — the shape of the reference's published
+    results table (src/data.csv:1-8 / ir-hw1.ods: MAP by SMART scheme ×
+    evaluation depth). One output row per (scheme, k) with the mean of
+    per-query AP over the fixed query set vs the deterministic qrels;
+    all scoring passes share one corpus read (union of lazy plans)."""
+    from .functions.evaluation import per_query_ap
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    qrels = _qrels(spark, sf_dir)
+    parts = []
+    for scheme in MAP_SWEEP_SCHEMES:
+        for k in MAP_SWEEP_DEPTHS:
+            res = smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme=scheme, k=k)
+            ap = per_query_ap(res, qrels, depth=k)
+            # mean over micro-AP INTEGERS (ap is already 6-dp rounded, so
+            # ap·1e6 is integral): integer summation is order-independent,
+            # which keeps the mean bit-identical across engines (a double
+            # sum can land a last-ulp away from a rounding boundary)
+            micro = F.round(F.col("ap") * 1_000_000).cast("long")
+            parts.append(
+                ap.agg(F.round(F.sum(micro) / (F.count("*") * 1_000_000.0), 6)
+                       .alias("map"),
+                       F.count("*").cast("long").alias("n_queries"))
+                .select(F.lit(scheme).alias("scheme"),
+                        F.lit(k).cast("int").alias("k"), "map", "n_queries"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched feature
     vectors (stub decoder; operators/multimodal.py). Rows-only gate —
@@ -426,6 +461,58 @@ def q_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------
+
+def _smart_hits_sql(scheme: str) -> str:
+    """SELECT producing (qid, doc_id, partial) for one SMART ddd.qqq
+    scheme over the shared tok/tc/ds/ts/n/q/qn CTEs (mirrors
+    operators/query.py smart_topk component by component)."""
+    ddd, qqq = scheme.split(".")
+    pivot_c = repr((1.0 - PIVOT_SLOPE) * PIVOT)
+    if qqq == "nnn":
+        qw, qn_join = "q.qtf::DOUBLE", ""
+    elif qqq == "ltc":
+        qw = ("((1.0 + log10(q.qtf::DOUBLE)) / qn.qnorm"
+              " * log10((SELECT n FROM n) / ts.df::DOUBLE))")
+        qn_join = "JOIN qn USING (qid) "
+    else:
+        raise ValueError(qqq)
+    tf_expr = {"n": "tc.tf::DOUBLE", "l": "(1.0 + log10(tc.tf::DOUBLE))",
+               "b": "1.0"}[ddd[0]]
+    df_expr = {"n": "1.0",
+               "t": "log10((SELECT n FROM n) / ts.df::DOUBLE)"}[ddd[1]]
+    norm = {"c": " / ds.len_l2",
+            "u": f" / ({PIVOT_SLOPE} * ds.uniq + {pivot_c})",
+            "n": ""}[ddd[2]]
+    return (f"SELECT q.qid, tc.doc_id, {qw} * ({tf_expr} * {df_expr}{norm}) AS partial "
+            f"FROM q {qn_join}JOIN tc USING (term) JOIN ts USING (term) "
+            f"JOIN ds USING (doc_id)")
+
+
+def _map_sweep_combo_sql(scheme: str, k: int) -> str:
+    ranked = f"""SELECT qid, doc_id, rank FROM (
+      SELECT qid, doc_id,
+             (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+      FROM (SELECT qid, doc_id, round(sum(partial), 6) AS score
+            FROM ({_smart_hits_sql(scheme)}) GROUP BY qid, doc_id)
+    ) WHERE rank <= {k}"""
+    return f"""SELECT '{scheme}' AS scheme, {k}::INT AS k,
+       round(sum(CAST(round(ap * 1000000) AS BIGINT)) / (count(*) * 1000000.0), 6) AS map,
+       count(*)::BIGINT AS n_queries
+FROM (
+  SELECT nrel.qid, round(coalesce(pq.sum_p, 0) / nrel.n_rel, 6) AS ap
+  FROM nrel LEFT JOIN (
+    SELECT qid, sum(CASE WHEN rel = 1 THEN cum_rel::DOUBLE / rank ELSE 0 END) AS sum_p
+    FROM (
+      SELECT r.qid, r.rank,
+             CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+             sum(CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.qid ORDER BY r.rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+      FROM ({ranked}) r
+      LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+    ) GROUP BY qid
+  ) pq USING (qid)
+)"""
+
 
 def oracle_sql_map() -> dict[str, str]:
     stop_in = ", ".join(f"'{w}'" for w in sorted(load_stopwords()))
@@ -596,6 +683,24 @@ ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    combos = "\nUNION ALL\n".join(
+        _map_sweep_combo_sql(s, k)
+        for s in MAP_SWEEP_SCHEMES for k in MAP_SWEEP_DEPTHS)
+    sql["map_sweep"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qn AS (SELECT qid, sqrt(sum((1.0 + log10(qtf::DOUBLE)) * (1.0 + log10(qtf::DOUBLE)))) AS qnorm
+       FROM q GROUP BY qid),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1)
+{combos}"""
 
     # query cosine norm convention (shared with operators/query.py
     # smart_topk and tests/oracle.py): sqrt over the tf-scheme weights
@@ -889,6 +994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_conj": q_bm25_topk_conj,
     "tiered_topk": q_tiered_topk,
     "map_eval": q_map_eval,
+    "map_sweep": q_map_sweep,
     "media_features": q_media_features,
     "media_stats": q_media_stats,
     "smart_nnc": q_smart_nnc,
