@@ -7,8 +7,9 @@
         --trec-out results.txt
 
 --topics is a TSV of `qid<TAB>title` lines (the reference's topic file
-equivalent). --mode taat = exhaustive scoring; wand = block-max pruned
-(identical results, property-gated). Output: qid doc_id rank score (+
+equivalent). --mode taat = exhaustive scoring; wand = mapInPandas
+block-max scorer; maxscore = all-JVM MaxScore strategy (all three are
+rank/score-identical, property-gated). Output: qid doc_id rank score (+
 TREC run file with --trec-out, format `qid 0 docid rank score runId`,
 reference src/invertedIndex.py:293-296).
 """
@@ -29,7 +30,8 @@ def main() -> None:
                     help="query title (repeatable); qid auto-assigned")
     ap.add_argument("--topics", help="TSV file of qid<TAB>title")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=("taat", "wand"), default="wand")
+    ap.add_argument("--mode", choices=("taat", "wand", "maxscore"),
+                    default="wand")
     ap.add_argument("--trec-out", help="write TREC run lines here")
     ap.add_argument("--expand", action="store_true",
                     help="join doc_map to show (conv_id, turn_idx)")
@@ -62,7 +64,11 @@ def main() -> None:
     ix = open_index(spark, args.index)
     qterms = query_terms_df(spark, queries)
     blocked = ix.postings_blocked(qterms)  # term-bucket partition pruning
-    if args.mode == "wand" and ix.inline_dl:
+    if args.mode == "maxscore" and ix.inline_dl:
+        from search_engine_spark.operators.wand import wand_topk_maxscore
+        res = wand_topk_maxscore(blocked, qterms, ix.n_docs, ix.avgdl,
+                                 k=args.k, salt_buckets=ix.salt_buckets)
+    elif args.mode == "wand" and ix.inline_dl:
         res = wand_topk(blocked, qterms, ix.n_docs, ix.avgdl, k=args.k,
                         salt_buckets=ix.salt_buckets)
     else:
