@@ -352,6 +352,44 @@ def q_embedding_dup_pairs(spark, sf_dir):
                                           n_planes=4, max_bucket_size=10_000)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of the IVF ANN path against the exact brute-force
+    top-k — the metric that justifies shipping an approximate index at
+    100 TB (probe more cells until recall clears the bar). Output one
+    row per query: (qid, n_hit, recall)."""
+    emb = _emb(spark, sf_dir)
+    brute = similarity.brute_topk(emb, n_queries=5, k=5).select("qid", "vec_id")
+    ivf = similarity.ivf_topk(emb, n_queries=5, k=5,
+                              n_cells=8, n_probe=2).select("qid", "vec_id")
+    hits = (brute.join(ivf, ["qid", "vec_id"], "leftsemi")
+            .groupBy("qid").agg(F.count("*").cast("long").alias("n_hit")))
+    qids = brute.select("qid").distinct()
+    return (qids.join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 6).alias("recall")))
+
+
+def q_dedup_kept(spark, sf_dir):
+    """Single-sweep dedup policy over the documents table: drop
+    non-canonical exact duplicates (same md5, keep min doc_id) and the
+    higher-id member of every verified near-dup pair (3-gram Jaccard ≥
+    0.5). Deliberately NOT transitive closure — connected components is
+    an iterative algorithm; this one-pass policy is what shard-local
+    dedup runs at scale, and it is exactly SQL-expressible for the
+    oracle. Output: the kept doc_ids."""
+    d = _docs(spark, sf_dir)
+    canon = (d.groupBy(F.md5("text").alias("_md5"))
+             .agg(F.min("doc_id").alias("_keep")))
+    exact_kept = (d.join(canon, F.md5(F.col("text")) == F.col("_md5"))
+                  .where(F.col("doc_id") == F.col("_keep"))
+                  .select("doc_id"))
+    near_drop = (dedup.jaccard_pairs(d, n=3, threshold=0.5)
+                 .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (exact_kept.join(near_drop, "doc_id", "left_anti")
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
 def q_text_quality(spark, sf_dir):
     return textstats.text_quality(_docs(spark, sf_dir))
 
@@ -888,6 +926,38 @@ SELECT a.id AS vec_a, b.id AS vec_b,
 FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.id < b.id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4"""
 
+    sql["ann_recall"] = f"""
+WITH b AS ({sql["embedding_topk"]}),
+v AS ({sql["embedding_ivf_topk"]}),
+hit AS (SELECT b.qid, count(*)::BIGINT AS n_hit
+        FROM b JOIN v ON b.qid = v.qid AND b.vec_id = v.vec_id
+        GROUP BY b.qid)
+SELECT q.qid, coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(hit.n_hit, 0) / 5.0, 6) AS recall
+FROM (SELECT DISTINCT qid FROM b) q LEFT JOIN hit USING (qid)"""
+
+    sql["dedup_kept"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b,
+         round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM j WHERE jaccard >= 0.5),
+canon AS (SELECT md5(text) AS m, min(doc_id) AS keep FROM documents GROUP BY 1)
+SELECT d.doc_id::BIGINT AS doc_id
+FROM documents d
+JOIN canon ON md5(d.text) = canon.m AND d.doc_id = canon.keep
+WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)"""
+
     sql["text_quality"] = f"""
 WITH base AS (
   SELECT doc_id,
@@ -1011,6 +1081,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_recall": q_ann_recall,
+    "dedup_kept": q_dedup_kept,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
