@@ -74,6 +74,59 @@ def test_deleted_stage_is_rebuilt_identically(spark, built_dir):
     assert after == before
 
 
+def test_resume_with_changed_config_rebuilds_layout_stages(spark, tiny_corpus,
+                                                           tmp_path_factory):
+    """Re-running with different layout params on the same --out must
+    NOT silently reuse the old index/meta (the config-fingerprint
+    contract): index + meta rebuild, corpus-derived stages still skip,
+    and open_index reports the NEW layout."""
+    out = str(tmp_path_factory.mktemp("idx_cfg"))
+    tw, _ = tiny_corpus
+    build_index_checkpointed(spark, tw, out, resume=True,
+                             salt_buckets=4, block=16)
+    res = build_index_checkpointed(spark, tw, out, resume=True,
+                                   salt_buckets=2, block=8)
+    statuses = [(m["stage"], m["status"]) for m in res.metrics]
+    by_stage = dict(statuses)
+    for s in ("doc_map", "term_counts", "doc_stats", "term_stats"):
+        assert by_stage[s] == "skipped_resume", (s, statuses)
+    assert ("index", "rebuild_config_mismatch") in statuses
+    assert ("index", "built") in statuses
+    ix = open_index(spark, out)
+    assert ix.salt_buckets == 2
+    # and the rebuilt layout serves the same results as a fresh build
+    q = query_terms_df(spark, QUERIES)
+    key = lambda df: sorted((r.qid, r.rank, r.doc_id, round(r.score, 6))  # noqa: E731
+                            for r in df.collect())
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    cs = corpus_stats(tw, ds)
+    direct = bm25_topk(tc, ds, term_stats(tc), q, cs["N"], cs["avgdl"], k=5)
+    served = wand_topk(ix.postings_blocked(), q, ix.n_docs, ix.avgdl, k=5,
+                       salt_buckets=ix.salt_buckets)
+    assert key(served) == key(direct)
+
+
+def test_corrupt_marker_treated_as_uncommitted(spark, tiny_corpus,
+                                               tmp_path_factory):
+    """A truncated _DONE.json (crash mid-write before markers became
+    atomic) must read as NOT committed — the stage rebuilds instead of
+    resume trusting garbage."""
+    out = str(tmp_path_factory.mktemp("idx_trunc"))
+    tw, _ = tiny_corpus
+    build_index_checkpointed(spark, tw, out, resume=True,
+                             salt_buckets=4, block=16)
+    marker = os.path.join(out, "term_stats", "_DONE.json")
+    with open(marker, "w") as f:
+        f.write('{"stage": "term_stats", "status": "bu')  # truncated
+    res = build_index_checkpointed(spark, tw, out, resume=True,
+                                   salt_buckets=4, block=16)
+    statuses = {m["stage"]: m["status"] for m in res.metrics}
+    assert statuses["term_stats"] == "built"
+    assert statuses["term_counts"] == "skipped_resume"
+    assert json.load(open(marker))["status"] == "built"
+
+
 def test_reopened_index_serves_identical_topk(spark, built_dir, tiny_corpus):
     out, _, tw = built_dir
     ix = open_index(spark, out)

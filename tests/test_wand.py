@@ -113,6 +113,46 @@ def test_wand_segment_granularities(spark, built):
         assert got == base, f"n_segments={n_segments} diverged"
 
 
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_all_strategies_agree_on_random_corpora(spark, seed):
+    """Seeded random mini-corpora (skewed vocab, ties, empty docs):
+    pandas scorer, hybrid and maxscore must all equal exhaustive TAAT
+    against the pure-Python oracle's BM25 — the §5.3 property gate run
+    over corpora none of the strategies were tuned on."""
+    import random
+    from tests.oracle import OracleIndex
+    from search_engine_spark.operators.query import bm25_topk_from_index
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    weights = [1.0 / (i + 1) for i in range(30)]
+    docs = []
+    for d in range(rng.randint(40, 80)):
+        n = rng.randint(0, 25)
+        docs.append((d, " ".join(rng.choices(vocab, weights=weights, k=n))))
+    tw = spark.createDataFrame(docs, "doc_id long, text string")
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    n_docs = len(docs)
+    avgdl_row = ds.agg({"dl": "avg"}).collect()[0][0]
+    avgdl = float(avgdl_row or 1.0)
+    idx_dl = postings_blocked(tc, n_docs, salt_buckets=3, block=7, ds=ds)
+    queries = [("r1", "w0 w25"), ("r2", "w3 w3 w17"), ("r3", "w29"),
+               ("r4", "w0 w1"), ("r5", "zzz w2")]
+    q = query_terms_df(spark, queries)
+    oracle = OracleIndex(docs)
+    for k in (1, 5, 20):
+        base = _rows(bm25_topk_from_index(idx_dl, None, q, n_docs, avgdl, k=k))
+        exp = sorted((qid, r, d, s) for qid, title in queries
+                     for d, r, s in oracle.bm25_topk(title, k))
+        assert [(a, b, c) for a, b, c, _ in base] == \
+               [(a, b, c) for a, b, c, _ in exp], f"seed={seed} k={k} taat"
+        for fn, name in ((wand.wand_topk, "pandas"),
+                         (wand.wand_topk_hybrid, "hybrid"),
+                         (wand.wand_topk_maxscore, "maxscore")):
+            got = _rows(fn(idx_dl, q, n_docs, avgdl, k=k, salt_buckets=3))
+            assert got == base, f"seed={seed} k={k} {name}"
+
+
 def test_wand_block_bounds_are_upper_bounds(spark, built):
     """Every posting's true BM25 term score ≤ its block's ub."""
     tc, ds, ts_, idx_dl, cs = built
