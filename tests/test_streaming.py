@@ -60,6 +60,53 @@ def test_incremental_equals_batch(spark, staged_corpus, tmp_path):
     assert key(tables["index"]) == key(bat_idx)
 
 
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState gap-sessionizer: events arrive in 3
+    time-ordered micro-batches whose cuts fall mid-session; every
+    CLOSED session must match the batch sessionizer exactly (the
+    trailing open session per user stays in state and is withheld)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from search_engine_spark.streaming.sessionize_stream import sessionize_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.orderBy("ts", "event_id")
+    evr = ev.withColumn("_rn", F.row_number().over(w)).cache()
+    n = evr.count()
+    root = tmp_path / "ev_src"
+    cut1, cut2 = n // 3, 2 * n // 3
+    for i, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, n)]):
+        (evr.where((F.col("_rn") > lo) & (F.col("_rn") <= hi)).drop("_rn")
+         .coalesce(1).write.mode("overwrite").parquet(str(root / f"chunk{i}")))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sess_closed")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck_sess")).start())
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {(r.user_id, r.start_us, r.end_us, r.n_events, round(r.sum_value, 4))
+           for r in spark.sql("select * from sess_closed").collect()}
+
+    evb = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    wb = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(wb)
+    new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    s = evb.withColumn("sno", F.sum(new).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)))
+    agg = s.groupBy("user_id", "sno").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sv"))
+    wl = Window.partitionBy("user_id").orderBy(F.desc("sno"))
+    closed = agg.withColumn("_r", F.row_number().over(wl)).where(F.col("_r") > 1)
+    exp = {(str(r.user_id), r.start_us, r.end_us, r.n_events, r.sv)
+           for r in closed.collect()}
+    assert len(got) > 0 and got == exp
+
+
 def test_windowed_turn_counts_with_watermark(spark, staged_corpus, tmp_path):
     # fixture ts spans ~80 seconds (1 turn/sec), so windows are seconds-
     # sized and chunks arrive as separate micro-batches to advance the
