@@ -273,6 +273,20 @@ def q_bm25_topk_conj(spark, sf_dir):
     return bm25_topk_conj(tc, ds, ts, q, n_docs, avgdl, k=10)
 
 
+def q_bm25_topk_conj_indexed(spark, sf_dir):
+    """AND-semantics BM25 served from the persisted blocked inline-dl
+    index layout (same oracle as bm25_topk_conj)."""
+    from .operators.query import bm25_topk_conj_from_index
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    ds = doc_stats(tc)
+    n_docs = docs.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_topk_conj_from_index(idx_dl, q, n_docs, avgdl, k=10)
+
+
 def q_smart_nnc(spark, sf_dir):
     tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
     return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="nnc.nnn", k=10)
@@ -424,6 +438,15 @@ def q_map_eval(spark, sf_dir):
     from .functions.evaluation import per_query_ap
     results = q_bm25_topk(spark, sf_dir)
     return per_query_ap(results, _qrels(spark, sf_dir), depth=10)
+
+
+def q_p_at_k(spark, sf_dir):
+    """Precision@10 per query for the BM25 run vs the deterministic
+    qrels (functions/evaluation.py precision_at_k — the other half of
+    the trec_eval metric pair next to MAP)."""
+    from .functions.evaluation import precision_at_k
+    results = q_bm25_topk(spark, sf_dir)
+    return precision_at_k(results, _qrels(spark, sf_dir), k=10)
 
 
 MAP_SWEEP_SCHEMES = ["nnc.nnn", "lnc.ltc", "btn.ltc", "ltu.nnn"]
@@ -609,6 +632,7 @@ ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM conj)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+    sql["bm25_topk_conj_indexed"] = sql["bm25_topk_conj"]
 
     sql["map_eval"] = f"""
 WITH {_bm25_ctes()},
@@ -721,6 +745,19 @@ ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["p_at_k"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+phits AS (SELECT r.qid, count(*)::BIGINT AS h
+         FROM runq r JOIN qrels USING (qid, doc_id) GROUP BY 1)
+SELECT q2.qid, round(coalesce(phits.h, 0) / 10.0, 6) AS p_at_k
+FROM (SELECT DISTINCT qid FROM qrels) q2 LEFT JOIN phits USING (qid)"""
 
     combos = "\nUNION ALL\n".join(
         _map_sweep_combo_sql(s, k)
@@ -1062,9 +1099,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_varbyte": q_bm25_topk_varbyte,
     "bm25_topk_trec": q_bm25_topk_trec,
     "bm25_topk_conj": q_bm25_topk_conj,
+    "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,
     "tiered_topk": q_tiered_topk,
     "map_eval": q_map_eval,
     "map_sweep": q_map_sweep,
+    "p_at_k": q_p_at_k,
     "media_features": q_media_features,
     "media_stats": q_media_stats,
     "smart_nnc": q_smart_nnc,

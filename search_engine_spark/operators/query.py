@@ -295,6 +295,41 @@ def bm25_topk_conj(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     return _topk(scored, k)
 
 
+def bm25_topk_conj_from_index(index: DataFrame, qterms: DataFrame,
+                              n_docs: int, avgdl: float,
+                              k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+                              b: float = BM25_B) -> DataFrame:
+    """AND-semantics BM25 served from the persisted blocked inline-dl
+    index: the intersection is the same matched-term-count filter as
+    bm25_topk_conj, applied after the term semi-join + block explode —
+    the blocked layout's pruning (term buckets, decode-after-prune)
+    composes with it unchanged."""
+    qn = F.broadcast(qterms.groupBy("qid").agg(F.count("*").alias("_qn")))
+    hits = (
+        index.join(F.broadcast(qterms), "term", "inner")
+        .select("qid", "qtf", "df", "term", F.explode("postings").alias("p"))
+        .select("qid", "qtf", "df", "term",
+                F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"),
+                F.col("p.dl").alias("dl"))
+    )
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
+    scored = (
+        hits.select("qid", "doc_id", "term", partial.alias("partial"))
+        .groupBy("qid", "doc_id")
+        # a doc appears once per (query term, block) and blocks of one
+        # term are doc-disjoint, so distinct terms = matched terms
+        .agg(F.sum("partial").alias("score"),
+             F.countDistinct("term").alias("_nt"))
+        .join(qn, "qid")
+        .where(F.col("_nt") == F.col("_qn"))
+        .select("qid", "doc_id", "score")
+    )
+    return _topk(scored, k)
+
+
 def expand_results(results: DataFrame, doc_map: DataFrame) -> DataFrame:
     """Expand surrogate doc_ids back to (conv_id, turn_idx) via the
     doc_map table (reference expandDocid,
