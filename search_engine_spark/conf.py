@@ -66,7 +66,24 @@ RUN_ID_DEFAULT = "spark-bm25"
 # --- index layout -----------------------------------------------------
 N_TERM_BUCKETS = 64        # hash buckets for the persisted index table
 POSTING_BLOCK = 128        # postings per skip block (block-max metadata)
-SALT_BUCKETS = 16          # two-phase salted posting aggregation fan-out
+
+# Salted posting aggregation is sized by a FROZEN doc-id span per salt
+# run, not a fixed bucket count: salt = doc_id // SALT_DOC_SPAN, so a
+# per-(term, salt) run holds ≤ SALT_DOC_SPAN postings (a term appears
+# at most once per doc) and reducer/sort work per run is CONSTANT in
+# corpus size — at 10^12 docs the fan-out grows to ~10^8 runs instead
+# of one run growing to ~10^11 postings. 8192 also keeps query-time
+# doc ranges fine enough for block-max range elimination to bite at
+# bench scale (~hundreds of ranges at 10^5-10^6 docs).
+SALT_DOC_SPAN = 8192
+
+
+def salt_buckets_for(n_docs: int, salt_buckets: int | None = None) -> int:
+    """Resolve an explicit bucket-count override (tests/gates pin small
+    counts for layout determinism) or derive it from the frozen span."""
+    if salt_buckets is not None:
+        return max(1, salt_buckets)
+    return max(1, -(-int(n_docs) // SALT_DOC_SPAN))
 
 # --- fixed benchmark / correctness query set --------------------------
 # Terms drawn from the synthetic documents vocabulary (TESTDATA.md).

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..conf import POSTING_BLOCK, SALT_BUCKETS
+from ..conf import POSTING_BLOCK, salt_buckets_for
 from ..functions.tokenize import term_counts
 
 
@@ -81,14 +81,20 @@ def postings_simple(tc: DataFrame) -> DataFrame:
     )
 
 
-def postings_salted(tc: DataFrame, n_docs: int, salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+def postings_salted(tc: DataFrame, n_docs: int,
+                    salt_buckets: int | None = None) -> DataFrame:
     """Two-phase salted posting assembly (north rule skew handling).
 
     Phase 1: groupBy(term, range_salt) → sorted partial run. The salt
     is ordered and disjoint in doc_id, so phase 2 is
     flatten(sort runs by salt) — pure concatenation of sorted runs,
     never a re-sort of the full list.
+
+    ``salt_buckets=None`` derives the fan-out from the frozen
+    per-run doc span (conf.SALT_DOC_SPAN), so run size stays constant
+    as the corpus grows; an explicit count is a test/layout override.
     """
+    salt_buckets = salt_buckets_for(n_docs, salt_buckets)
     span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
     runs = (
         tc.withColumn("_salt", (F.col("doc_id") / F.lit(span)).cast("int"))
@@ -115,17 +121,26 @@ def postings_salted(tc: DataFrame, n_docs: int, salt_buckets: int = SALT_BUCKETS
 
 
 def postings_blocked(tc: DataFrame, n_docs: int,
-                     salt_buckets: int = SALT_BUCKETS,
+                     salt_buckets: int | None = None,
                      block: int = POSTING_BLOCK,
                      ds: DataFrame | None = None) -> DataFrame:
     """Scale-path index layout: one row per (term, block_no) with ≤
     ``block`` postings + block-max skip metadata (R8 prerequisite —
     the reference only *hints* at this, src/invertedIndex.py:308-311).
 
+    ``salt_buckets=None`` (the production default) derives the fan-out
+    from the frozen per-run doc span (conf.SALT_DOC_SPAN): per-(term,
+    salt) run size is then CONSTANT in corpus size — 10^12 docs means
+    ~10^8 bounded runs for a stopword, never one run of 10^11 postings.
+    An explicit count is a small-corpus test/layout override.
+
     No operator ever holds a full hot-term posting list: phase 1 runs
-    are bounded by the salt range; blocks are cut inside each run; the
-    only per-term global state is the S-row run directory that the
-    block-numbering window sorts (tiny). Output columns:
+    are bounded by the salt span; blocks are cut inside each run; block
+    numbering is pure ARITHMETIC off the frozen span (a run holds ≤
+    span postings ⇒ ≤ ceil(span/block) blocks, so
+    block_no = salt · blocks_per_run + blk is globally unique and
+    strictly increasing in doc order) — no per-term window anywhere, at
+    any fan-out. Output columns:
 
         term, block_no, df, cf, postings array<struct<doc_id,tf>>,
         first_doc_id, last_doc_id, block_max_tf, salt
@@ -141,6 +156,7 @@ def postings_blocked(tc: DataFrame, n_docs: int,
     per-block score upper bound: score(block_max_tf, block_min_dl).
     Cost: one extra varbyte per posting on disk — the standard trade.
     """
+    salt_buckets = salt_buckets_for(n_docs, salt_buckets)
     span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
     if ds is not None:
         tc = tc.join(ds.select("doc_id", "dl"), "doc_id")
@@ -170,31 +186,30 @@ def postings_blocked(tc: DataFrame, n_docs: int,
             *([F.min("dl").alias("block_min_dl")] if ds is not None else []),
         )
     )
-    # Global block numbering + per-term df/cf come from a RUN DIRECTORY
-    # — one row per (term, salt), i.e. ≤ salt_buckets rows per term —
-    # NOT from a window over the block rows themselves. A stopword-grade
-    # term at 10^12 docs has ~10^8 block rows; a window partitioned by
-    # bare `term` would pull all of them (postings included) through one
-    # reducer. The directory windows below see ≤ salt_buckets tiny rows
-    # per term, and the block rows are re-joined on (term, _salt), which
-    # keeps a hot term spread across its salt span even in the join.
+    # Per-term df/cf come from a RUN DIRECTORY — one NARROW row per
+    # (term, salt) — never from a window over the block rows (postings
+    # included) themselves. The directory is reduced to per-term totals
+    # by a plain two-level aggregation (map-side partials make the
+    # term-level reduce safe for stopword-hot terms), and the totals are
+    # re-attached to the directory on bare `term` — a join AQE's skew
+    # handling can split, over rows of ~30 bytes — then to the heavy
+    # block rows on (term, _salt), which keeps a hot term spread across
+    # its salt span. Global block numbering is the arithmetic
+    # salt · blocks_per_run + blk (see docstring): sparse but unique and
+    # doc-ordered, so no cumulative window exists in the plan at all.
+    blocks_per_run = (span + block - 1) // block
     dir_ = chunks.groupBy("term", "_salt").agg(
-        F.count("*").alias("_nb"),
         F.sum("n").alias("_run_df"),
         F.sum("sum_tf").alias("_run_cf"))
-    w_dir = Window.partitionBy("term").orderBy("_salt")
-    w_all = Window.partitionBy("term")
-    dir_ = (
-        dir_
-        .withColumn("_blk_off", F.coalesce(
-            F.sum("_nb").over(w_dir.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0)))
-        .withColumn("df", F.sum("_run_df").over(w_all).cast("long"))
-        .withColumn("cf", F.sum("_run_cf").over(w_all).cast("long")))
+    totals = dir_.groupBy("term").agg(
+        F.sum("_run_df").cast("long").alias("df"),
+        F.sum("_run_cf").cast("long").alias("cf"))
+    dir_ = dir_.join(totals, "term").select("term", "_salt", "df", "cf")
     out = (
-        chunks.join(dir_.select("term", "_salt", "_blk_off", "df", "cf"),
-                    ["term", "_salt"])
-        .withColumn("block_no", (F.col("_blk_off") + F.col("_blk")).cast("long"))
+        chunks.join(dir_, ["term", "_salt"])
+        .withColumn("block_no",
+                    (F.col("_salt").cast("long") * blocks_per_run
+                     + F.col("_blk")).cast("long"))
         .select("term", "block_no", "df", "cf", "postings",
                 "first_doc_id", "last_doc_id", "block_max_tf",
                 *(["block_min_dl"] if ds is not None else []),

@@ -18,9 +18,13 @@ a query lives in exactly one (qid, range) group**:
 
     index blocks ⨝ broadcast(query terms)          [semi-join prune]
       → champion-block pass (JVM)                  [θ floor from top-ub blocks]
-      → range elimination (JVM)                    [Σ max-ub < θ ⇒ drop range]
+      → block-bound elimination (JVM)              [ub(β)+Σ_{t'≠t}max ub < θ ⇒ drop β]
       → groupBy(qid, range).applyInPandas(scorer)  [numpy block-max walk, θ-seeded]
       → union of local top-k → global window top-k [exact merge]
+
+The JVM elimination is per BLOCK (a whole range dies when all its
+blocks die, so range-level elimination is subsumed): postings of a
+dropped block never pay the array projection or the Arrow transfer.
 
 Inside a group the scorer:
 1. computes per-block score upper bounds  ub = qtf·idf·sat(block_max_tf,
@@ -35,10 +39,12 @@ Inside a group the scorer:
    score rounding of the rank contract, so rounded ties are never
    pruned).
 
-Correctness: pruning granularity is a doc range, and a pruned range is
-one where NO doc can reach θ (its bound ≥ any doc's true score), so
-surviving docs are scored exactly — identical ranks and scores to the
-exhaustive path (property-tested in tests/test_wand.py).
+Correctness: every pruned unit (block pre-transfer, segment in the
+scorer) carries a bound ≥ the true score of every doc it could serve,
+so any doc that can reach the top-k keeps all of its postings and is
+scored exactly — identical ranks and scores to the exhaustive path
+(property-tested in tests/test_wand.py; the block-subset argument is
+spelled out on _pruned_hits).
 
 At 10^12 turns: block metadata is ~1/POSTING_BLOCK of the index and
 rides in the same rows; stopword-hot terms have low idf → tiny ubs →
@@ -56,7 +62,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..conf import BM25_B, BM25_K1, SALT_BUCKETS, TOP_K_DEFAULT
+from ..conf import BM25_B, BM25_K1, TOP_K_DEFAULT
 from .query import _topk
 
 _OUT_SCHEMA = "qid string, doc_id long, score double"
@@ -188,18 +194,18 @@ def _score_group(pdf: pd.DataFrame, n_docs: int, avgdl: float, k: int,
 
 def wand_topk(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
               avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
-              b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
+              b: float = BM25_B, salt_buckets: int | None = None,
               n_segments: int = 64,
               champion_blocks: int | None = None) -> DataFrame:
     """Top-k BM25 over the blocked index WITH inline dl
     (postings_blocked(..., ds=doc_stats)) using block-max pruning.
     Rank- and score-identical to bm25_topk (property-gated).
 
-    Pruning happens at three granularities, coarsest first:
-    JVM-side range elimination + θ seeding from a champion-block pass
-    (_pruned_hits — blocks of eliminated ranges are never transferred
-    to Python), then per-segment bound pruning inside the Arrow scorer,
-    with exact scoring only for surviving segments.
+    Pruning happens at two granularities, coarsest first: JVM-side
+    per-BLOCK bound elimination + θ seeding from a champion-block pass
+    (_pruned_hits — dropped blocks are never projected to arrays or
+    transferred to Python), then per-segment bound pruning inside the
+    Arrow scorer, with exact scoring only for surviving segments.
 
     The doc-range grouping key comes from the index's own ``salt``
     column when present (postings_blocked stamps each block with the
@@ -219,11 +225,26 @@ def wand_topk(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     return _topk(local, k)
 
 
-def _range_col(index_dl: DataFrame, n_docs: int, salt_buckets: int) -> F.Column:
+def _range_col(index_dl: DataFrame, n_docs: int, salt_buckets: int | None) -> F.Column:
     if "salt" in index_dl.columns:
         return F.col("salt").cast("int")
-    span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
+    if salt_buckets is None:
+        from ..conf import SALT_DOC_SPAN
+        span = SALT_DOC_SPAN
+    else:
+        span = max(1, (n_docs + salt_buckets - 1) // salt_buckets)
     return (F.col("first_doc_id") / span).cast("int")
+
+
+def _block_ub(n_docs: int, avgdl: float, k1: float, b: float) -> F.Column:
+    """Per-block BM25 score upper bound as a column expression:
+    qtf · idf · sat(block_max_tf, block_min_dl). sat is monotone ↑ in
+    tf and ↓ in dl, so this bounds every posting in the block."""
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
+    bmax = F.col("block_max_tf").cast("double")
+    return (F.col("qtf") * idf * bmax * (k1 + 1.0)
+            / (bmax + k1 * (1.0 - b + b * F.col("block_min_dl") / F.lit(avgdl))))
 
 
 def _block_meta(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
@@ -232,16 +253,11 @@ def _block_meta(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     touched. `_ub` = per-block score upper bound, pure column math (the
     broadcast term-dict lookup of the north rule, extended with the
     block-max saturation bound)."""
-    dfc = F.col("df").cast("double")
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
-    bmax = F.col("block_max_tf").cast("double")
-    ub = (F.col("qtf") * idf * bmax * (k1 + 1.0)
-          / (bmax + k1 * (1.0 - b + b * F.col("block_min_dl") / F.lit(avgdl))))
     return (
         index_dl.join(F.broadcast(qterms), "term", "inner")
         .select("qid", "qtf", "term", "df", "first_doc_id",
                 _range_col(index_dl, n_docs, salt_buckets).alias("_range"),
-                ub.alias("_ub"))
+                _block_ub(n_docs, avgdl, k1, b).alias("_ub"))
     )
 
 
@@ -254,6 +270,36 @@ def _default_champions(k: int) -> int:
     return max(16, 2 * ((k + 127) // 128) + 8)
 
 
+def _champion_keys(meta: DataFrame, champion_blocks: int) -> DataFrame:
+    """Champion block keys (qid, qtf, term, first_doc_id), selected with
+    BOUNDED per-qid state only. A naive ``Window.partitionBy("qid")``
+    over the raw block metadata funnels every (query term × block) row
+    of a qid — ~10^8 rows for a stopword at 10^12 docs — through one
+    reducer. Instead:
+
+    level 1: best block per (qid, term, salt range) via a plain
+             aggregation (map-side partial max; no window, no skew);
+    level 2: global top-C per qid over the run maxima — the only
+             qid-partitioned window, over ≤ #query-terms × #salt-ranges
+             NARROW rows per qid.
+
+    Restricting champions to ≤ 1 block per (term, range) run is sound:
+    the champion pass derives a score LOWER bound from whatever block
+    subset it scores, so ANY champion choice yields a valid θ floor —
+    subsetting can only (marginally) weaken pruning, never correctness.
+    The top blocks of a term live in distinct runs almost always, so
+    the practical θ is unchanged."""
+    run_best = (meta.groupBy("qid", "qtf", "term", "_range")
+                .agg(F.max(F.struct("_ub", "first_doc_id")).alias("m"))
+                .select("qid", "qtf", "term",
+                        F.col("m._ub").alias("_ub"),
+                        F.col("m.first_doc_id").alias("first_doc_id")))
+    w_c = Window.partitionBy("qid").orderBy(F.desc("_ub"), "term", "first_doc_id")
+    return (run_best.withColumn("_cr", F.row_number().over(w_c))
+            .where(F.col("_cr") <= champion_blocks)
+            .select("qid", "qtf", "term", "first_doc_id"))
+
+
 def _theta_floor(index_dl: DataFrame, meta: DataFrame, n_docs: int,
                  avgdl: float, k: int, k1: float, b: float,
                  champion_blocks: int) -> DataFrame:
@@ -264,11 +310,8 @@ def _theta_floor(index_dl: DataFrame, meta: DataFrame, n_docs: int,
     ``_theta0`` is ≤ the true k-th best score: a sound global θ floor
     with ≥ k docs known to reach it. Empty (no row for a qid) when the
     pass covers < k docs — callers treat that as 'no pruning'."""
-    w_c = Window.partitionBy("qid").orderBy(F.desc("_ub"), "term", "first_doc_id")
-    champ_keys = (meta.withColumn("_cr", F.row_number().over(w_c))
-                  .where(F.col("_cr") <= champion_blocks)
-                  .select("qid", "qtf", "term", "first_doc_id"))
-    champ = index_dl.join(F.broadcast(champ_keys), ["term", "first_doc_id"])
+    champ = index_dl.join(F.broadcast(_champion_keys(meta, champion_blocks)),
+                          ["term", "first_doc_id"])
     dfc = F.col("df").cast("double")
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
     pe = champ.select("qid", "qtf", idf.alias("_idf"),
@@ -283,23 +326,46 @@ def _theta_floor(index_dl: DataFrame, meta: DataFrame, n_docs: int,
             .where(F.col("_rk") == k).select("qid", F.col("_lb").alias("_theta0")))
 
 
+def _bound_tables(meta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(tmax, rub): per-(qid, range, term) best block ub and per-(qid,
+    range) summed range bound. Bounded by #queries × #ranges ×
+    #query-terms narrow rows — broadcast them; the index side is never
+    re-shuffled (the keep decision evaluates inline per block row)."""
+    tmax = meta.groupBy("qid", "_range", "term").agg(F.max("_ub").alias("_tu"))
+    rub = tmax.groupBy("qid", "_range").agg(F.sum("_tu").alias("_rub"))
+    return tmax, rub
+
+
 def _pruned_hits(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
                  avgdl: float, k: int, k1: float, b: float,
-                 salt_buckets: int, champion_blocks: int | None) -> DataFrame:
-    """Range-level pruning + θ seeding for the mapInPandas scorer, all
-    JVM-side, BEFORE any posting array crosses into Python.
+                 salt_buckets: int | None,
+                 champion_blocks: int | None) -> DataFrame:
+    """BLOCK-level transfer pruning + θ seeding for the mapInPandas
+    scorer, all JVM-side, BEFORE any posting array crosses into Python.
 
     1. champion θ floor (_theta_floor);
-    2. drop every (qid, range) whose bound Σ_terms max(block ub) falls
-       below _theta0 − margin — no doc there can reach the top-k, so
-       its blocks are never transferred or scored. For the canonical
-       hot∧rare query this eliminates every range the rare term doesn't
-       touch;
+    2. drop every block β whose sound score bound
+           bound(β) = ub(β) + Σ_{t'≠t} max_ub(t', range)
+       falls below _theta0 − margin (the same bound wand_topk_hybrid
+       filters on). A whole range dies when all its blocks die (every
+       block bound ≤ the range bound Σ_t max_ub), so this SUBSUMES the
+       former range-level elimination — and additionally drops cold
+       blocks inside surviving ranges. Postings of a dropped block
+       never pay the array projection or the Arrow transfer. For the
+       canonical hot∧rare query this strips both the ranges the rare
+       term doesn't touch and the hot term's low-tf blocks elsewhere;
     3. seed the surviving groups' scorers with _theta0 so segment
        pruning is active from the first segment.
 
-    The posting→array transforms run AFTER the range filter, so
-    eliminated blocks never pay the projection either."""
+    Scoring a block SUBSET stays exact for everything that matters —
+    the identical argument as wand_topk_hybrid: a dropped block bounds
+    every one of its docs below θ0 − margin, and the champion pass
+    guarantees ≥ k docs reach θ0 globally, so neither a fully- nor a
+    partially-dropped doc can reach the global top-k; a doc that CAN
+    keeps all of its blocks (each bounds that doc's score ≥ θ ≥ θ0)
+    and is scored exactly. Segment bounds computed from the surviving
+    blocks still dominate every surviving doc's score for the same
+    reason (property-gated in tests/test_wand.py)."""
     meta = _block_meta(index_dl, qterms, n_docs, avgdl, k1, b, salt_buckets)
     arrays = (
         index_dl.join(F.broadcast(qterms), "term", "inner")
@@ -308,6 +374,7 @@ def _pruned_hits(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
             "first_doc_id", "last_doc_id", "block_max_tf", "block_min_dl",
             "postings",
             _range_col(index_dl, n_docs, salt_buckets).alias("_range"),
+            _block_ub(n_docs, avgdl, k1, b).alias("_ub"),
         )
     )
     if not champion_blocks:
@@ -315,15 +382,14 @@ def _pruned_hits(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     else:
         theta = _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b,
                              champion_blocks)
-        # range upper bound: Σ over query terms of the best block ub
-        rub = (meta.groupBy("qid", "_range", "term").agg(F.max("_ub").alias("_tu"))
-               .groupBy("qid", "_range").agg(F.sum("_tu").alias("_rub")))
-        keep = (rub.join(F.broadcast(theta), "qid", "left")
+        tmax, rub = _bound_tables(meta)
+        hits = (arrays
+                .join(F.broadcast(tmax), ["qid", "_range", "term"])
+                .join(F.broadcast(rub), ["qid", "_range"])
+                .join(F.broadcast(theta), "qid", "left")
                 .where(F.col("_theta0").isNull()
-                       | (F.col("_rub") >= F.col("_theta0") - _PRUNE_MARGIN))
-                .select("qid", "_range"))
-        hits = (arrays.join(F.broadcast(keep), ["qid", "_range"], "leftsemi")
-                .join(F.broadcast(theta), "qid", "left"))
+                       | (F.col("_ub") - F.col("_tu") + F.col("_rub")
+                          >= F.col("_theta0") - _PRUNE_MARGIN)))
     return hits.select(
         "qid", "qtf", "term", "df",
         "first_doc_id", "last_doc_id", "block_max_tf", "block_min_dl", "_range",
@@ -335,7 +401,7 @@ def _pruned_hits(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
 
 def wand_topk_hybrid(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
                      avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
-                     b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
+                     b: float = BM25_B, salt_buckets: int | None = None,
                      champion_blocks: int | None = None) -> DataFrame:
     """Block-max pruned BM25 executed ENTIRELY JVM-side: champion θ
     floor → per-block sound bound filter → exact whole-stage-codegen
@@ -361,21 +427,14 @@ def wand_topk_hybrid(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
         champion_blocks = _default_champions(k)
     meta = _block_meta(index_dl, qterms, n_docs, avgdl, k1, b, salt_buckets)
     theta = _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b, champion_blocks)
-    # bound tables are bounded by #queries × #ranges × #query-terms —
-    # broadcast-small at any corpus size (the index side is never
-    # re-shuffled; the keep decision is evaluated inline per block row)
-    tmax = meta.groupBy("qid", "_range", "term").agg(F.max("_ub").alias("_tu"))
-    rub = tmax.groupBy("qid", "_range").agg(F.sum("_tu").alias("_rub"))
+    tmax, rub = _bound_tables(meta)
     dfc = F.col("df").cast("double")
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
-    bmax = F.col("block_max_tf").cast("double")
-    ub = (F.col("qtf") * idf * bmax * (k1 + 1.0)
-          / (bmax + k1 * (1.0 - b + b * F.col("block_min_dl") / F.lit(avgdl))))
     kept = (
         index_dl.join(F.broadcast(qterms), "term", "inner")
         .select("qid", "qtf", "term", "df", "first_doc_id", "postings",
                 _range_col(index_dl, n_docs, salt_buckets).alias("_range"),
-                ub.alias("_ub"))
+                _block_ub(n_docs, avgdl, k1, b).alias("_ub"))
         .join(F.broadcast(tmax), ["qid", "_range", "term"])
         .join(F.broadcast(rub), ["qid", "_range"])
         .join(F.broadcast(theta), "qid", "left")
@@ -394,7 +453,7 @@ def wand_topk_hybrid(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
 
 def wand_topk_maxscore(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
                        avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
-                       b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
+                       b: float = BM25_B, salt_buckets: int | None = None,
                        champion_blocks: int | None = None,
                        probe_max_candidates: int = 100_000,
                        block_skip_min_df: int = 50_000) -> DataFrame:
@@ -419,37 +478,20 @@ def wand_topk_maxscore(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     if champion_blocks is None:
         champion_blocks = _default_champions(k)
     meta = _block_meta(index_dl, qterms, n_docs, avgdl, k1, b, salt_buckets)
-    # ONE light job yields both the per-(qid, term) upper bound U_t and
-    # the champion block ids (top-ub blocks per qid, window-flagged
-    # before the agg) — driver rows bounded by the query set.
-    w_c = Window.partitionBy("qid").orderBy(F.desc("_ub"), "term", "first_doc_id")
-    stats = (meta.withColumn("_cr", F.row_number().over(w_c))
-             .groupBy("qid", "term", "qtf")
-             .agg(F.max("_ub").alias("u"),
-                  F.first("df").alias("df"),
-                  F.collect_list(F.when(F.col("_cr") <= champion_blocks,
-                                        F.col("first_doc_id"))).alias("champs"))
+    # per-(qid, term) whole-term upper bound U_t: a plain aggregation
+    # with map-side partials — never a per-qid window over the raw
+    # block rows. Driver rows bounded by the query set.
+    stats = (meta.groupBy("qid", "term", "qtf")
+             .agg(F.max("_ub").alias("u"), F.first("df").alias("df"))
              .collect())
-    champ_rows = [(r.qid, r.qtf, r.term, int(f))
-                  for r in stats for f in r.champs]
     theta: dict[str, float] = {}
-    if champ_rows:
-        champ_keys = spark.createDataFrame(
-            champ_rows, "qid string, qtf int, term string, first_doc_id long")
-        champ = index_dl.join(F.broadcast(champ_keys), ["term", "first_doc_id"])
-        dfc0 = F.col("df").cast("double")
-        idf0 = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc0 + 0.5) / (dfc0 + 0.5))
-        pe = champ.select("qid", "qtf", idf0.alias("_idf"),
-                          F.explode("postings").alias("p"))
-        tf0 = F.col("p.tf").cast("double")
-        sat0 = tf0 * (k1 + 1.0) / (tf0 + k1 * (1.0 - b + b * F.col("p.dl") / F.lit(avgdl)))
-        lb = (pe.select("qid", F.col("p.doc_id").alias("doc_id"),
-                        (F.col("qtf") * F.col("_idf") * sat0).alias("partial"))
-              .groupBy("qid", "doc_id").agg(F.sum("partial").alias("_lb")))
-        w_k = Window.partitionBy("qid").orderBy(F.desc("_lb"), "doc_id")
-        theta = {r.qid: r._lb for r in
-                 lb.withColumn("_rk", F.row_number().over(w_k))
-                 .where(F.col("_rk") == k).select("qid", "_lb").collect()}
+    if champion_blocks and stats:
+        # champion selection + θ floor share the bounded-window path of
+        # the other strategies (_champion_keys / _theta_floor); θ rows
+        # collected are ≤ one per qid.
+        theta = {r.qid: r._theta0 for r in
+                 _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b,
+                              champion_blocks).collect()}
     by_qid: dict[str, list] = {}
     for r in stats:
         by_qid.setdefault(r.qid, []).append(r)
@@ -553,7 +595,7 @@ def wand_topk_maxscore(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
 
 def wand_prune_stats(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
                      avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
-                     b: float = BM25_B, salt_buckets: int = SALT_BUCKETS,
+                     b: float = BM25_B, salt_buckets: int | None = None,
                      n_segments: int = 64,
                      champion_blocks: int | None = None) -> DataFrame:
     """Pruning evidence for the same pipeline wand_topk runs: one row

@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..conf import N_TERM_BUCKETS, POSTING_BLOCK, SALT_BUCKETS
+from ..conf import N_TERM_BUCKETS, POSTING_BLOCK, salt_buckets_for
 from ..functions.codec import decode_index, encode_index
 from ..functions.tokenize import term_counts
 from ..operators.docids import doc_map as doc_map_of
@@ -117,7 +117,7 @@ class CheckpointedBuild:
     committed to parquet with metrics, skippable on resume."""
 
     def __init__(self, spark: SparkSession, out_dir: str, resume: bool = True,
-                 salt_buckets: int = SALT_BUCKETS, block: int = POSTING_BLOCK,
+                 salt_buckets: int | None = None, block: int = POSTING_BLOCK,
                  n_term_buckets: int = N_TERM_BUCKETS, compress: bool = True,
                  inline_dl: bool = True):
         self.spark = spark
@@ -202,7 +202,12 @@ class CheckpointedBuild:
         ts_ = self._commit("term_stats", term_stats(tc), lineage=["term_counts"])
 
         n_docs = dm.count()
-        idx = postings_blocked(tc, n_docs, salt_buckets=self.salt_buckets,
+        # salt fan-out resolves from the frozen per-run doc span unless
+        # the caller pinned a count; the RESOLVED value is what the meta
+        # stage records (open_index needs the physical layout, not the
+        # configuration intent)
+        salt_resolved = salt_buckets_for(n_docs, self.salt_buckets)
+        idx = postings_blocked(tc, n_docs, salt_buckets=salt_resolved,
                                block=self.block,
                                ds=ds if self.inline_dl else None)
         if self.compress:
@@ -226,7 +231,7 @@ class CheckpointedBuild:
 
         avgdl = float(ds.agg(F.avg("dl")).collect()[0][0] or 0.0)
         meta = {"n_docs": n_docs, "avgdl": avgdl,
-                "salt_buckets": self.salt_buckets, "block": self.block,
+                "salt_buckets": salt_resolved, "block": self.block,
                 "n_term_buckets": self.n_term_buckets,
                 "compressed": self.compress, "inline_dl": self.inline_dl}
         meta_stage = os.path.join(self.out_dir, "meta")

@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..conf import POSTING_BLOCK, SALT_BUCKETS
+from ..conf import POSTING_BLOCK
 from ..functions.tokenize import term_counts
 from ..operators.index_build import doc_stats, postings_blocked, term_stats
 from ..sources.transcripts import TRANSCRIPTS_SCHEMA
@@ -73,7 +73,7 @@ def incremental_term_counts(stream: DataFrame) -> DataFrame:
 class IncrementalIndexer:
     """foreachBatch sink: delta-append + compaction."""
 
-    def __init__(self, out_dir: str, salt_buckets: int = SALT_BUCKETS,
+    def __init__(self, out_dir: str, salt_buckets: int | None = None,
                  block: int = POSTING_BLOCK):
         self.out_dir = out_dir
         self.delta_dir = os.path.join(out_dir, "tc_delta")

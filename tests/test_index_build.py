@@ -91,12 +91,18 @@ def test_blocked_reconstructs_simple(built, tiny_corpus):
         assert r.last_doc_id == r.postings[-1].doc_id
         assert r.block_max_tf == max(p.tf for p in r.postings)
     assert rebuilt == simple
-    # per-term df/cf ride along correctly and block_nos are contiguous
+    # per-term df/cf ride along correctly; block_nos are unique and
+    # strictly increasing in doc order (arithmetic salt·bpr+blk
+    # numbering — sparse by design, never re-sorted by a window)
     by_term: dict[str, list] = {}
     for r in blocked:
         by_term.setdefault(r.term, []).append(r)
     for term, rs in by_term.items():
-        assert sorted(r.block_no for r in rs) == list(range(len(rs)))
+        rs = sorted(rs, key=lambda r: r.block_no)
+        assert len({r.block_no for r in rs}) == len(rs)
+        firsts = [r.first_doc_id for r in rs]
+        assert firsts == sorted(firsts)
+        assert all(a.last_doc_id < b.first_doc_id for a, b in zip(rs, rs[1:]))
         assert all(r.df == len(simple[term]) for r in rs)
 
 
