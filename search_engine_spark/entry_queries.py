@@ -115,15 +115,42 @@ def _tc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_counts_sql(_docs(spark, sf_dir))
 
 
+_CORPUS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _corpus(spark: SparkSession, sf_dir: str):
-    """(tc, ds, ts, n_docs, avgdl) — shared prelude for scoring queries."""
-    docs = _docs(spark, sf_dir)
-    tc = term_counts_sql(docs)
-    ds = doc_stats(tc)
-    ts = term_stats(tc)
-    n_docs = docs.count()
-    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
-    return tc, ds, ts, n_docs, avgdl
+    """(tc, ds, ts, n_docs, avgdl) — shared prelude for scoring queries.
+
+    Memoized per (session, sf_dir) with persisted tc/ds: the driver's
+    correctness run executes ~40 gates against the same corpus, and
+    without the cache each one re-tokenizes from parquet. Persistence
+    only reuses computation — plans stay identical in results."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CORPUS_CACHE.get(key)
+    if hit is None:
+        docs = _docs(spark, sf_dir)
+        tc = term_counts_sql(docs).persist()
+        ds = doc_stats(tc).persist()
+        ts = term_stats(tc)
+        n_docs = docs.count()
+        avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+        hit = (tc, ds, ts, n_docs, avgdl)
+        _CORPUS_CACHE[key] = hit
+    return hit
+
+
+def _indexed_corpus(spark: SparkSession, sf_dir: str):
+    """(idx_dl, n_docs, avgdl) — the blocked inline-dl index at the
+    gate-pinned salt_buckets=8 layout, memoized+persisted per session
+    like _corpus (five gates serve from this identical layout)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "idx8dl")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is None:
+        tc, ds, _, n_docs, avgdl = _corpus(spark, sf_dir)
+        idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds).persist()
+        hit = (idx_dl, n_docs, avgdl)
+        _CORPUS_CACHE[key] = hit
+    return hit
 
 
 # ---------------------------------------------------------------------
@@ -171,11 +198,7 @@ def q_bm25_topk(spark, sf_dir):
 def q_bm25_topk_indexed(spark, sf_dir):
     """Same result as q_bm25_topk but served from the persisted blocked
     index layout (term/block rows → explode → score)."""
-    docs = _docs(spark, sf_dir)
-    tc = term_counts_sql(docs)
-    ds = doc_stats(tc)
-    n_docs = docs.count()
-    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    tc, ds, _, n_docs, avgdl = _corpus(spark, sf_dir)
     idx = postings_blocked(tc, n_docs, salt_buckets=8)
     q = query_terms_df(spark, QUERY_SET)
     return bm25_topk_from_index(idx, ds, q, n_docs, avgdl, k=10)
@@ -185,12 +208,7 @@ def q_wand_topk(spark, sf_dir):
     """Block-max pruned BM25 (operators/wand.py) — rank/score-identical
     to bm25_topk, gated by the same SQL oracle."""
     from .operators.wand import wand_topk
-    docs = _docs(spark, sf_dir)
-    tc = term_counts_sql(docs)
-    ds = doc_stats(tc)
-    n_docs = docs.count()
-    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
-    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
     q = query_terms_df(spark, QUERY_SET)
     return wand_topk(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
 
@@ -200,12 +218,7 @@ def q_wand_topk_hybrid(spark, sf_dir):
     filter + codegen scoring) — same oracle as bm25_topk, proving the
     pruning is rank/score-lossless."""
     from .operators.wand import wand_topk_hybrid
-    docs = _docs(spark, sf_dir)
-    tc = term_counts_sql(docs)
-    ds = doc_stats(tc)
-    n_docs = docs.count()
-    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
-    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
     q = query_terms_df(spark, QUERY_SET)
     return wand_topk_hybrid(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
 
@@ -214,12 +227,7 @@ def q_wand_topk_maxscore(spark, sf_dir):
     """MaxScore-strategy pruning (essential/non-essential term split +
     candidate probes) — same oracle as bm25_topk: lossless by gate."""
     from .operators.wand import wand_topk_maxscore
-    docs = _docs(spark, sf_dir)
-    tc = term_counts_sql(docs)
-    ds = doc_stats(tc)
-    n_docs = docs.count()
-    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
-    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
     q = query_terms_df(spark, QUERY_SET)
     return wand_topk_maxscore(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
 
@@ -229,11 +237,7 @@ def q_bm25_topk_varbyte(spark, sf_dir):
     delta-gap+varbyte encode → decode → score. Same oracle as
     bm25_topk, so the codec round-trip sits inside the value gate."""
     from .functions.codec import decoded_postings_long, encode_index
-    docs = _docs(spark, sf_dir)
-    tc = term_counts_sql(docs)
-    ds = doc_stats(tc)
-    n_docs = docs.count()
-    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    tc, ds, _, n_docs, avgdl = _corpus(spark, sf_dir)
     enc = encode_index(postings_blocked(tc, n_docs, salt_buckets=8))
     q = query_terms_df(spark, QUERY_SET)
     # prune blocks by term BEFORE decoding (skipped blocks never decode),
@@ -264,6 +268,28 @@ def q_bm25_topk_trec(spark, sf_dir):
     return bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=TOP_K_TREC)
 
 
+def q_wand_topk_trec(spark, sf_dir):
+    """Pruned retrieval at TREC depth: the all-JVM MaxScore strategy at
+    k = TOP_K_TREC = 1000 (the reference's published-run preset,
+    src/run:25,31,36). Deep k is where θ converges slowest and pruning
+    earns least — gating it proves the essential/non-essential split
+    degrades to lossless-exhaustive instead of degrading wrong."""
+    from .operators.wand import wand_topk_maxscore
+    idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return wand_topk_maxscore(idx_dl, q, n_docs, avgdl, k=TOP_K_TREC,
+                              salt_buckets=8)
+
+
+def q_trec_lines(spark, sf_dir):
+    """S10 value gate: the TREC run-file lines themselves
+    (`qid 0 docid rank score runId`, %.6f score), oracle-checked —
+    the export format is pure string assembly, so it is
+    SQL-expressible end to end."""
+    from .operators.query import trec_export
+    return trec_export(q_bm25_topk(spark, sf_dir))
+
+
 def q_bm25_topk_conj(spark, sf_dir):
     """Conjunctive (AND-semantics) BM25 — docs containing EVERY query
     term (reference DAAT intent, src/invertedIndex.py:305-492)."""
@@ -277,12 +303,7 @@ def q_bm25_topk_conj_indexed(spark, sf_dir):
     """AND-semantics BM25 served from the persisted blocked inline-dl
     index layout (same oracle as bm25_topk_conj)."""
     from .operators.query import bm25_topk_conj_from_index
-    docs = _docs(spark, sf_dir)
-    tc = term_counts_sql(docs)
-    ds = doc_stats(tc)
-    n_docs = docs.count()
-    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
-    idx_dl = postings_blocked(tc, n_docs, salt_buckets=8, ds=ds)
+    idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
     q = query_terms_df(spark, QUERY_SET)
     return bm25_topk_conj_from_index(idx_dl, q, n_docs, avgdl, k=10)
 
@@ -310,6 +331,41 @@ def q_smart_btn_ltc(spark, sf_dir):
     0.2063) × log-tf idf cosine-normalized queries."""
     tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
     return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="btn.ltc", k=10)
+
+
+def q_smart_npc_ltc(spark, sf_dir):
+    """npc.ltc — natural tf × PROB-IDF cosine-normalized docs, the
+    best-MAP doc scheme of the reference's published sweep
+    (src/data.csv:8 col 8, MAP 0.2362). Prob-idf clamps at 0 for terms
+    in more than half the collection — this corpus's hot terms hit the
+    clamp, so the gate exercises both branches."""
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="npc.ltc", k=10)
+
+
+def q_smart_Ltu_nnn(spark, sf_dir):
+    """Ltu.nnn — log-AVERAGE tf, idf, pivoted-unique norm
+    (src/data.csv:8 col 10). The reference's own 'L' crashes with
+    doc=None and has an operator-precedence bug at
+    src/invertedIndex.py:189; we gate the textbook formula."""
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return smart_topk(tc, ds, ts, QUERY_SET, n_docs, scheme="Ltu.nnn", k=10)
+
+
+def q_media_wav_features(spark, sf_dir):
+    """VALUE-gated media decode: a WAV side-table derived from the
+    documents corpus (samples = md5(text) digest bytes, rate in the
+    RIFF header only) is decoded by the REAL PCM16 parser
+    (operators/multimodal.py parse_wav) and reduced to per-doc sample
+    stats. The DuckDB oracle re-derives every number from md5(text)
+    hex — header parse, byte→sample mapping and stats all sit inside
+    the value gate."""
+    from .operators.multimodal import decode_wav_features, media_from_documents
+    media = media_from_documents(_docs(spark, sf_dir))
+    return decode_wav_features(media).select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("mean_sample", 6).alias("mean_sample"),
+        "min_sample", "max_sample", "decode_ok")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -423,7 +479,11 @@ def q_fingerprints(spark, sf_dir):
 def _qrels(spark, sf_dir):
     """Deterministic synthetic relevance judgments shared with the
     DuckDB oracle: doc is relevant to qid iff
-    (doc_id + int(qid[1:])) % 17 == 0."""
+    (doc_id + int(qid[1:])) % 17 == 0.
+
+    EVALUATION-ONLY shape: the qids × docs crossJoin is 8 × corpus here
+    and fine for a fixed judged query set (real qrels are a small table
+    read from disk); it is not a pattern for serving paths."""
     docs = _docs(spark, sf_dir).select("doc_id")
     qids = spark.createDataFrame(
         [(qid, int(qid[1:])) for qid, _ in QUERY_SET], "qid string, qnum int")
@@ -538,15 +598,41 @@ def _smart_hits_sql(scheme: str) -> str:
     else:
         raise ValueError(qqq)
     tf_expr = {"n": "tc.tf::DOUBLE", "l": "(1.0 + log10(tc.tf::DOUBLE))",
-               "b": "1.0"}[ddd[0]]
+               "b": "1.0",
+               "a": "(0.5 + 0.5 * tc.tf::DOUBLE / ds.max_tf)",
+               "L": "((1.0 + log10(tc.tf::DOUBLE)) / (1.0 + log10(ds.ave_tf)))",
+               }[ddd[0]]
+    # prob-idf 'p' clamps at 0 (greatest over -inf when df = n is fine:
+    # DuckDB log10(0) = -inf, Spark returns null and greatest skips it)
     df_expr = {"n": "1.0",
-               "t": "log10((SELECT n FROM n) / ts.df::DOUBLE)"}[ddd[1]]
+               "t": "log10((SELECT n FROM n) / ts.df::DOUBLE)",
+               "p": ("greatest(0.0, log10(((SELECT n FROM n) - ts.df::DOUBLE)"
+                     " / ts.df::DOUBLE))"),
+               }[ddd[1]]
     norm = {"c": " / ds.len_l2",
             "u": f" / ({PIVOT_SLOPE} * ds.uniq + {pivot_c})",
             "n": ""}[ddd[2]]
     return (f"SELECT q.qid, tc.doc_id, {qw} * ({tf_expr} * {df_expr}{norm}) AS partial "
             f"FROM q {qn_join}JOIN tc USING (term) JOIN ts USING (term) "
             f"JOIN ds USING (doc_id)")
+
+
+def _smart_sql(scheme: str, k: int = 10) -> str:
+    """Full ranked-top-k oracle for one SMART scheme, assembled from
+    _smart_hits_sql over the shared corpus CTEs."""
+    return f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qn AS (SELECT qid, sqrt(sum((1.0 + log10(qtf::DOUBLE)) * (1.0 + log10(qtf::DOUBLE)))) AS qnorm
+       FROM q GROUP BY qid),
+hits AS ({_smart_hits_sql(scheme)}),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score FROM hits GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}"""
 
 
 def _map_sweep_combo_sql(scheme: str, k: int) -> str:
@@ -608,6 +694,26 @@ FROM tc"""
     sql["wand_topk_maxscore"] = _bm25_sql(k=10)
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
     sql["bm25_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
+    sql["wand_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
+
+    sql["trec_lines"] = f"""
+WITH {_bm25_ctes()}
+SELECT qid || ' 0 ' || doc_id::VARCHAR || ' ' || rank::VARCHAR || ' '
+           || printf('%.6f', score) || ' spark-bm25' AS line
+FROM ranked WHERE rank <= 10"""
+
+    sql["media_wav_features"] = """
+WITH b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(text), 2 * i - 1, 2))::INT - 128) * 256 AS s
+  FROM documents, unnest(generate_series(1, 16)) t(i)
+)
+SELECT doc_id, (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+       16::INT AS n_samples,
+       round(avg(s), 6) AS mean_sample,
+       min(s)::INT AS min_sample, max(s)::INT AS max_sample,
+       TRUE AS decode_ok
+FROM b GROUP BY doc_id"""
 
     sql["bm25_topk_conj"] = f"""
 WITH {TOK_CTE},
@@ -822,6 +928,12 @@ ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    # data.csv sweep columns 8 ('npc-ltc', the published best) and 10
+    # ('Ltu-nnn') — assembled from the generic scheme compiler so the
+    # full doc-side alphabet n/l/a/b/L × n/t/p × n/c/u is oracle-backed
+    sql["smart_npc_ltc"] = _smart_sql("npc.ltc", k=10)
+    sql["smart_Ltu_nnn"] = _smart_sql("Ltu.nnn", k=10)
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_dups,
@@ -1098,6 +1210,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_topk_maxscore": q_wand_topk_maxscore,
     "bm25_topk_varbyte": q_bm25_topk_varbyte,
     "bm25_topk_trec": q_bm25_topk_trec,
+    "wand_topk_trec": q_wand_topk_trec,
+    "trec_lines": q_trec_lines,
     "bm25_topk_conj": q_bm25_topk_conj,
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,
     "tiered_topk": q_tiered_topk,
@@ -1110,6 +1224,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smart_ltu": q_smart_ltu,
     "smart_lnc_ltc": q_smart_lnc_ltc,
     "smart_btn_ltc": q_smart_btn_ltc,
+    "smart_npc_ltc": q_smart_npc_ltc,
+    "smart_Ltu_nnn": q_smart_Ltu_nnn,
+    "media_wav_features": q_media_wav_features,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,

@@ -342,8 +342,12 @@ def expand_results(results: DataFrame, doc_map: DataFrame) -> DataFrame:
 
 def trec_export(results: DataFrame, run_id: str = RUN_ID_DEFAULT) -> DataFrame:
     """S10: TREC run lines `qid 0 docid rank score runId`
-    (reference :293-296,570-573)."""
+    (reference :293-296,570-573). The score is printed %.6f — the
+    engine's frozen score precision — rather than double→string cast,
+    whose spelling (1.0E-6 vs 0.000001) is engine-specific and would
+    make the line format non-portable."""
     return results.select(
         F.concat_ws(" ", "qid", F.lit("0"), F.col("doc_id").cast("string"),
-                    F.col("rank").cast("string"), F.col("score").cast("string"),
+                    F.col("rank").cast("string"),
+                    F.format_string("%.6f", F.col("score").cast("double")),
                     F.lit(run_id)).alias("line"))

@@ -157,7 +157,7 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = 8,
 
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
-                        n_planes: int = 4, max_bucket_size: int | None = 10_000,
+                        n_planes: int = 4, max_bucket_size: int | None = None,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ threshold), bucketed by a
     coarse sign-LSH. NOTE: bucketing makes this approximate (a near-dup
@@ -169,8 +169,11 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     combinatorics — no self-join (a self-join recomputes the upstream
     per side and is quadratic per bucket with no guard). A bucket of
     boilerplate near-identical vectors is inherently quadratic in its
-    OUTPUT, so `max_bucket_size` drops buckets above the cap (None =
-    uncapped exact-within-bucketing). Output (vec_a, vec_b, cos)."""
+    OUTPUT, so `max_bucket_size` drops buckets above the cap. The
+    default is None — uncapped exact-within-bucketing, so truncation is
+    always an explicit caller choice, never a silent default (ADVICE
+    r2); scale runs should pass a cap (the driver gate passes 10_000)
+    and treat dropped buckets as their own dedup class."""
     with_b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                         sign_bucket(F.col(vec_col), n_planes).alias("bucket"))
     buckets = (with_b.groupBy("bucket")

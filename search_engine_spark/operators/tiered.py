@@ -86,12 +86,15 @@ def tiered_topk(docs: DataFrame, qterms: DataFrame, n_docs: int,
     whose scores MERGE into the accumulator (reference :230,287-291);
     final top-k over the merged scores.
 
-    Each tier's (doc_id, term, tf) relation is persisted: it feeds the
-    scoring join, the tier's doc_stats/term_stats and (for tier 0) the
-    fallthrough count — caching makes that one tokenize pass per tier
-    instead of one per consumer."""
-    tc0 = tier_term_counts(docs, 0, title_tokens=title_tokens).persist()
-    tc1 = tier_term_counts(docs, 1, title_tokens=title_tokens).persist()
+    Each tier's (doc_id, term, tf) relation is reused by the scoring
+    join, the tier's doc_stats/term_stats and (for tier 0) the
+    fallthrough count — one tokenize pass per tier instead of one per
+    consumer. localCheckpoint (not persist) so the materialized RDDs
+    are released by the ContextCleaner when the result goes out of
+    scope: repeated tiered_topk calls in one session must not
+    accumulate executor storage (ADVICE r2)."""
+    tc0 = tier_term_counts(docs, 0, title_tokens=title_tokens).localCheckpoint()
+    tc1 = tier_term_counts(docs, 1, title_tokens=title_tokens).localCheckpoint()
     s0 = _tier_partials(tc0, qterms, n_docs, k1, b)
     s1 = _tier_partials(tc1, qterms, n_docs, k1, b)
     # fallthrough set: qids tier 0 could not fill (count < k). Includes

@@ -72,6 +72,13 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         n_per = ends - starts
         sv_per = np.add.reduceat(val, starts)
 
+        # merge when the batch's first event sits within gap of the
+        # carried session — INCLUDING out-of-order events that predate
+        # it (ts[0] < c_start): those extend the session backwards, so
+        # the merged start is min(carried, batch) (ADVICE r2; an event
+        # older than c_start − gap still merges by the batch-semantics
+        # convention that a user's carried session absorbs late data —
+        # add a watermark upstream to bound how late that can be).
         first_merges = c_start is not None and ts[0] - c_end <= gap_us
         if c_start is not None and not first_merges:
             closed.append((user, int(c_start), int(c_end), int(c_n), float(c_sv)))
@@ -83,7 +90,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             s_n = int(n_per[i])
             s_sv = float(sv_per[i])
             if i == 0 and first_merges:
-                s_start, s_n, s_sv = int(c_start), int(c_n) + s_n, float(c_sv) + s_sv
+                s_start = min(int(c_start), s_start)
+                s_n, s_sv = int(c_n) + s_n, float(c_sv) + s_sv
                 s_end = max(int(c_end), s_end)
             if i < starts.size - 1:
                 closed.append((user, s_start, s_end, s_n, s_sv))

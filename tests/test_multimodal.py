@@ -57,3 +57,52 @@ def test_media_stats_metadata_only(spark, media):
     assert all(r.n == 12 and r.total_bytes > 0 for r in st.values())
     assert st["image/png"].max_width is not None
     assert st["audio/wav"].max_width is None
+
+
+def test_wav_roundtrip_and_malformed():
+    """The REAL RIFF/PCM16 codec: exact round-trip of samples and rate;
+    malformed containers raise ValueError (never a crash downstream)."""
+    import numpy as np
+    from search_engine_spark.operators.multimodal import parse_wav, wav_bytes
+    s = np.array([-32768, -1, 0, 1, 32767, 12345], dtype=np.int16)
+    rate, n_ch, got = parse_wav(wav_bytes(s, sample_rate=11000))
+    assert rate == 11000 and n_ch == 1 and (got == s).all()
+    for bad in (b"", b"RIFFxxxx", b"RIFF" + b"\x00" * 64,
+                wav_bytes(s)[:30], wav_bytes(s)[:-3]):
+        with pytest.raises(ValueError):
+            parse_wav(bad)
+
+
+def test_ppm_roundtrip_and_malformed():
+    import numpy as np
+    from search_engine_spark.operators.multimodal import parse_ppm, ppm_bytes
+    px = (np.arange(4 * 3 * 3) % 256).astype(np.uint8).reshape(4, 3, 3)
+    got = parse_ppm(ppm_bytes(px))
+    assert got.shape == (4, 3, 3) and (got == px).all()
+    for bad in (b"", b"P5\n1 1\n255\n\x00" * 3, ppm_bytes(px)[:-5],
+                b"P6\n2 2\n127\n" + b"\x00" * 12):
+        with pytest.raises(ValueError):
+            parse_ppm(bad)
+
+
+def test_wav_gate_pipeline_matches_python(spark):
+    """media_from_documents → decode_wav_features equals a pure-Python
+    recomputation from md5(text) — the same identity the DuckDB oracle
+    gate checks, pinned here at unit level."""
+    import hashlib
+    import numpy as np
+    from search_engine_spark.operators.multimodal import (
+        decode_wav_features, media_from_documents)
+    rows = [(i, f"turn text {i} " * (1 + i % 3)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           decode_wav_features(media_from_documents(docs)).collect()}
+    assert len(got) == 20
+    for doc_id, text in rows:
+        d = np.frombuffer(hashlib.md5(text.encode()).digest(), dtype=np.uint8)
+        s = (d.astype(np.int64) - 128) * 256
+        r = got[doc_id]
+        assert r.decode_ok and r.n_samples == 16
+        assert r.sample_rate == 8000 + doc_id % 8 * 1000
+        assert r.min_sample == int(s.min()) and r.max_sample == int(s.max())
+        assert abs(r.mean_sample - round(float(s.mean()), 6)) < 1e-9

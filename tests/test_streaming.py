@@ -130,3 +130,44 @@ def test_windowed_turn_counts_with_watermark(spark, staged_corpus, tmp_path):
     assert len(got) > 0
     for r in got:
         assert batch_map[(r.window_start, r.role)] == r.n_turns
+
+
+def test_stateful_sessionize_out_of_order_late_event(spark, tmp_path):
+    """A late event that PREDATES the carried session's start but sits
+    within gap of its end must merge with start_us = min(carried,
+    late) — the ADVICE-r2 edge where the old merge kept the carried
+    start and silently mis-stamped the session."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+    from search_engine_spark.streaming.sessionize_stream import sessionize_stream
+
+    schema = T.StructType([
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+    batches = [
+        [("u1", 1, t(1000), 1.0), ("u1", 2, t(1100), 2.0)],
+        # late event at 900 (before the carried start) + a far event
+        # that closes the merged session
+        [("u1", 3, t(900), 4.0), ("u1", 4, t(100000), 8.0)],
+    ]
+    root = tmp_path / "late_src"
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("overwrite").parquet(str(root / f"chunk{i}")))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sess_late")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck_late")).start())
+    q.awaitTermination(120)
+    got = [(r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+           for r in spark.sql("select * from sess_late").collect()]
+    base = int(t(0).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert got == [("u1", base + 900 * 1_000_000, base + 1100 * 1_000_000,
+                    3, 7.0)]
