@@ -138,6 +138,7 @@ def scale_run(cpus: int) -> None:
 
 
 def main() -> None:
+    t_bench = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -238,6 +239,29 @@ def main() -> None:
     extras["wand_query_samples"] = [round(x, 2) for x in lat_w]
     extras["zipf_n_queries"] = ZIPF_NQ
 
+    # --- TREC depth (k=1000): the regime where θ converges slowest and
+    # pruning earns least (reference run preset depth, src/run:25,31,36).
+    # Interleaved like the k=10 pair, on a 60-query sub-batch to bound
+    # cost; honest either way — if deep k erodes the win, the numbers say
+    # so and BASELINE.md discusses it.
+    from search_engine_spark.conf import TOP_K_TREC
+    deep = query_terms_df(spark, zq_set[:60])
+    bm25_topk_from_index(zidx, None, deep, zn, zavgdl, k=TOP_K_TREC).collect()
+    wand_topk_maxscore(zidx, deep, zn, zavgdl, k=TOP_K_TREC).collect()
+    lat_d, lat_dw = [], []
+    for _ in range(2):
+        t0 = time.time()
+        bm25_topk_from_index(zidx, None, deep, zn, zavgdl, k=TOP_K_TREC).collect()
+        lat_d.append(time.time() - t0)
+        t0 = time.time()
+        wand_topk_maxscore(zidx, deep, zn, zavgdl, k=TOP_K_TREC).collect()
+        lat_dw.append(time.time() - t0)
+    extras["bm25_trec_p50_ms_60q"] = round(statistics.median(lat_d) * 1000, 1)
+    extras["wand_trec_p50_ms_60q"] = round(statistics.median(lat_dw) * 1000, 1)
+    extras["bm25_trec_samples"] = [round(x, 2) for x in lat_d]
+    extras["wand_trec_samples"] = [round(x, 2) for x in lat_dw]
+    extras["trec_k"] = TOP_K_TREC
+
     # the mapInPandas scorer — the north-rule surface; Arrow-transfer
     # bound, so it runs (with its pruning evidence) on a 30-query
     # sub-batch to keep the artifact cheap
@@ -302,6 +326,10 @@ def main() -> None:
         have_taskset = shutil.which("taskset") is not None
         max_passes = int(os.environ.get("BENCH_SCALE_MAX_PASSES", "5"))
         target_eff = float(os.environ.get("BENCH_SCALE_TARGET_EFF", "0.85"))
+        # Hard wall-clock budget for the WHOLE bench: extra adaptive
+        # passes are worthless if an external timeout kills the process
+        # before the JSON line prints. Under-budget beats over-evidence.
+        time_budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "2700"))
         samples: dict[int, list] = {n_small: [], n_big: []}
         pass_best: dict[int, list] = {n_small: [], n_big: []}
         turns: dict[int, int] = {}
@@ -353,6 +381,7 @@ def main() -> None:
         run_level(n_small); run_level(n_big)
         n_passes = 2
         while (n_passes < max_passes
+               and time.time() - t_bench < time_budget
                and (e := eff_now()) is not None
                and (e < target_eff or spread(n_small) > 1.3 or spread(n_big) > 1.3)):
             run_level(n_small); run_level(n_big)
