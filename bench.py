@@ -345,8 +345,18 @@ def main() -> None:
             if have_taskset:
                 cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
             p = subprocess.run(cmd, env=env, capture_output=True, text=True)
-            line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
-            r = json.loads(line)
+            # the JVM occasionally writes warnings (GC, shutdown) to the
+            # shared stdout — scan backwards for the JSON line instead of
+            # trusting the last line, and treat an unparseable subprocess
+            # as a missing sample rather than crashing the whole bench
+            r = {}
+            for line in reversed(p.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    try:
+                        r = json.loads(line)
+                    except ValueError:
+                        pass
+                    break
             if "turns_per_sec" in r:
                 got = r.get("all_sec", [r["build_sec"]])
                 samples[c].extend(got)

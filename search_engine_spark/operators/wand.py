@@ -328,9 +328,19 @@ def _theta_floor(index_dl: DataFrame, meta: DataFrame, n_docs: int,
 
 def _bound_tables(meta: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(tmax, rub): per-(qid, range, term) best block ub and per-(qid,
-    range) summed range bound. Bounded by #queries × #ranges ×
-    #query-terms narrow rows — broadcast them; the index side is never
-    re-shuffled (the keep decision evaluates inline per block row)."""
+    range) summed range bound — #queries × #ranges-touched ×
+    #query-terms NARROW rows.
+
+    Deliberately NOT hint-broadcast: with span-derived salting a hot
+    term touches every range, so at 10^12 docs tmax holds ~10^8 rows
+    per hot query term and a forced broadcast OOMs the executors
+    exactly where pruning matters most. The joins are left to AQE,
+    which sees the post-aggregation sizes: at bench/test scale (≤ a
+    few 10^4 rows) it broadcast-converts and the plan is identical to
+    a hinted one; at web scale it falls back to a shuffled join on
+    (qid, _range[, term]) — skew-splittable, and the block rows it
+    re-shuffles are the ones about to be grouped by (qid, _range)
+    anyway. Only θ (one scalar row per qid) keeps a broadcast hint."""
     tmax = meta.groupBy("qid", "_range", "term").agg(F.max("_ub").alias("_tu"))
     rub = tmax.groupBy("qid", "_range").agg(F.sum("_tu").alias("_rub"))
     return tmax, rub
@@ -384,8 +394,8 @@ def _pruned_hits(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
                              champion_blocks)
         tmax, rub = _bound_tables(meta)
         hits = (arrays
-                .join(F.broadcast(tmax), ["qid", "_range", "term"])
-                .join(F.broadcast(rub), ["qid", "_range"])
+                .join(tmax, ["qid", "_range", "term"])
+                .join(rub, ["qid", "_range"])
                 .join(F.broadcast(theta), "qid", "left")
                 .where(F.col("_theta0").isNull()
                        | (F.col("_ub") - F.col("_tu") + F.col("_rub")
@@ -435,8 +445,8 @@ def wand_topk_hybrid(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
         .select("qid", "qtf", "term", "df", "first_doc_id", "postings",
                 _range_col(index_dl, n_docs, salt_buckets).alias("_range"),
                 _block_ub(n_docs, avgdl, k1, b).alias("_ub"))
-        .join(F.broadcast(tmax), ["qid", "_range", "term"])
-        .join(F.broadcast(rub), ["qid", "_range"])
+        .join(tmax, ["qid", "_range", "term"])
+        .join(rub, ["qid", "_range"])
         .join(F.broadcast(theta), "qid", "left")
         .where(F.col("_theta0").isNull()
                | (F.col("_ub") - F.col("_tu") + F.col("_rub")

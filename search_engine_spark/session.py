@@ -41,6 +41,11 @@ def get_spark(app: str = "search_engine_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # JVM unified logging defaults to STDOUT; a mid-run GC warning
+        # (e.g. GCLocker retry) would interleave with the one-JSON-line
+        # stdout contract of bench.py and the driver's entry smoke —
+        # route warnings to stderr instead.
+        .config("spark.driver.extraJavaOptions",
+                "-Djava.net.preferIPv4Stack=true -Xlog:all=warning:stderr")
     )
     return builder.getOrCreate()
