@@ -183,7 +183,10 @@ def main() -> None:
                .select((F.col("doc_id") * ZIPF_REP + F.col("r")).alias("doc_id"),
                        "text"))
     zn = n0 * ZIPF_REP
-    ztc = term_counts(zcorpus)
+    # persist the tokenize stage like the checkpointed build driver
+    # does between stages — doc_stats and postings_blocked otherwise
+    # each re-tokenize the 625k-turn corpus from source
+    ztc = term_counts(zcorpus).cache()
     zds = doc_stats(ztc).cache()
     zavgdl = float(zds.agg(F.avg("dl")).collect()[0][0])
     # salting uses the engine's frozen per-run doc span (no override):
@@ -191,6 +194,7 @@ def main() -> None:
     # same span yields ~10^8 ranges and identical per-range geometry.
     zidx = _pb(ztc, zn, ds=zds).cache()
     zidx.count()
+    ztc.unpersist()  # only the build needs the tokenize stage
     timings["zipf_index_build"] = round(time.time() - t0, 3)
     extras["zipf_turns"] = zn
 
