@@ -333,7 +333,7 @@ def main() -> None:
         # Hard wall-clock budget for the WHOLE bench: extra adaptive
         # passes are worthless if an external timeout kills the process
         # before the JSON line prints. Under-budget beats over-evidence.
-        time_budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "2700"))
+        time_budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "2400"))
         samples: dict[int, list] = {n_small: [], n_big: []}
         pass_best: dict[int, list] = {n_small: [], n_big: []}
         turns: dict[int, int] = {}

@@ -133,3 +133,40 @@ def test_doc_id_mint_stable_under_repartition(spark):
     b = {(r.conv_id, r.turn_idx): r.doc_id
          for r in mint_doc_ids(t.repartition(11), n_buckets=4).collect()}
     assert a == b
+
+
+def test_salt_buckets_for_span_contract():
+    """Frozen-span derivation (conf.SALT_DOC_SPAN): per-(term, salt) run
+    size is bounded by the span at ANY corpus size, and an explicit
+    count stays a pure override."""
+    from search_engine_spark.conf import SALT_DOC_SPAN, salt_buckets_for
+    # explicit override wins verbatim (floor 1)
+    assert salt_buckets_for(10**6, 64) == 64
+    assert salt_buckets_for(10**6, 0) == 1
+    # derived: ceil(n / span); tiny corpora collapse to one bucket
+    assert salt_buckets_for(1) == 1
+    assert salt_buckets_for(SALT_DOC_SPAN) == 1
+    assert salt_buckets_for(SALT_DOC_SPAN + 1) == 2
+    for n in (10**5, 10**9, 10**12):
+        b = salt_buckets_for(n)
+        span = (n + b - 1) // b  # the span postings_blocked recomputes
+        assert span <= SALT_DOC_SPAN          # run size constant in n
+        assert b * span >= n                  # covers the whole doc space
+        assert (b - 1) * SALT_DOC_SPAN < n    # no empty trailing fan-out
+
+
+def test_salted_span_default_equals_simple(built, tiny_corpus):
+    """postings_salted/postings_blocked with the span-derived DEFAULT
+    fan-out (salt_buckets=None) reproduce the unsalted postings."""
+    tw, rows = tiny_corpus
+    _, tc, _ = built
+    simple = {r.term: ([(p.doc_id, p.tf) for p in r.postings], r.df, r.cf)
+              for r in postings_simple(tc).collect()}
+    salted = {r.term: ([(p.doc_id, p.tf) for p in r.postings], r.df, r.cf)
+              for r in postings_salted(tc, len(rows)).collect()}
+    assert salted == simple
+    rebuilt: dict[str, list] = {}
+    for r in sorted(postings_blocked(tc, len(rows)).collect(),
+                    key=lambda r: (r.term, r.block_no)):
+        rebuilt.setdefault(r.term, []).extend((p.doc_id, p.tf) for p in r.postings)
+    assert rebuilt == {t: v[0] for t, v in simple.items()}
