@@ -541,34 +541,46 @@ def wand_topk_maxscore(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     he = _flat(spark.createDataFrame(ess_rows, schema))
     parts = [he]
     # Probes: a non-essential list contributes only for candidate docs.
-    # Candidate sets are ≤ probe_max_candidates per qid — broadcastable
-    # by construction — and the probe is a map-side broadcast semi-join
-    # (hot lists are never shuffled or aggregated). For a long hot list
-    # probed by FEW candidates, even the scan is skipped at BLOCK
-    # granularity (block_skip branch) — the Spark analogue of the
-    # reference's offsets.gz byte-seek into a posting list
+    # Candidate sets are ≤ probe_max_candidates per qid; the probe is a
+    # candidate semi-join (hot lists are never aggregated). Broadcast
+    # is decided DRIVER-SIDE from the known per-qid candidate bounds:
+    # Σ cand_bound over the probing qids is an upper bound on the
+    # candidate rows, so the hint is forced exactly when the whole set
+    # provably fits a broadcast budget (the per-qid cap alone does not
+    # bound a many-thousand-qid batch, where a blind hint would OOM and
+    # AQE's 10 MB default would mis-route the normal regime to a
+    # shuffled semi-join). For a long hot list probed by FEW
+    # candidates, even the scan is skipped at BLOCK granularity
+    # (block_skip branch) — the Spark analogue of the reference's
+    # offsets.gz byte-seek into a posting list
     # (src/invertedIndex.py:240-241).
     plain = [(q, t, f) for q, t, f, df, cb in non_rows
              if df < max(block_skip_min_df, 10 * max(cb, 1))]
     skip = [(q, t, f) for q, t, f, df, cb in non_rows
             if df >= max(block_skip_min_df, 10 * max(cb, 1))]
+    probe_qids = {q for q, _, _ in plain} | {q for q, _, _ in skip}
+    total_cand = sum({q: cb for q, _, _, _, cb in non_rows
+                      if q in probe_qids}.values())
+    # ~24 B per (qid string, doc_id long) broadcast row; 256 MB budget
+    bc_cand = (F.broadcast if total_cand * 24 < 256 * 1024 * 1024
+               else (lambda df: df))
     if plain:
         qids = sorted({q for q, _, _ in plain})
-        cand = F.broadcast(he.where(F.col("qid").isin(qids))
-                           .select("qid", "doc_id"))
+        cand = bc_cand(he.where(F.col("qid").isin(qids))
+                       .select("qid", "doc_id"))
         parts.append(_flat(spark.createDataFrame(plain, schema))
                      .join(cand, ["qid", "doc_id"], "leftsemi"))
     if skip:
         qids = sorted({q for q, _, _ in skip})
         cand_df = he.where(F.col("qid").isin(qids)).select("qid", "doc_id")
-        cand = F.broadcast(cand_df)
+        cand = bc_cand(cand_df)
         # block-containment made equi-joinable: bucket doc space at
         # width W; a block spans ≤ span/W+1 buckets (pathologically wide
         # blocks, > 64 buckets, are kept unconditionally rather than
         # truncating coverage). The key subplan is NARROW — no posting
         # arrays are scanned to decide which blocks survive.
         W = 1024
-        cbuck = F.broadcast(
+        cbuck = bc_cand(
             cand_df.select("qid", (F.col("doc_id") / W).cast("long").alias("_bk"))
             .distinct())
         qn = spark.createDataFrame(skip, schema)
@@ -576,7 +588,7 @@ def wand_topk_maxscore(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
                .select("qid", "term", "first_doc_id", "last_doc_id"))
         b0 = (F.col("first_doc_id") / W).cast("long")
         b1 = (F.col("last_doc_id") / W).cast("long")
-        keys = F.broadcast(
+        keys = bc_cand(
             nbk.where(b1 - b0 <= 64)
             .select("qid", "term", "first_doc_id",
                     F.explode(F.sequence(b0, b1)).alias("_bk"))
