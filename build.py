@@ -41,7 +41,7 @@ def main() -> None:
                     help="local[N] threads (ignored under spark-submit --master)")
     args = ap.parse_args()
 
-    from search_engine_spark.conf import POSTING_BLOCK, SALT_BUCKETS
+    from search_engine_spark.conf import POSTING_BLOCK
     from search_engine_spark.operators.docids import mint_doc_ids
     from search_engine_spark.plans.build_driver import build_index_checkpointed
     from search_engine_spark.session import get_spark
@@ -61,7 +61,8 @@ def main() -> None:
     res = build_index_checkpointed(
         spark, tw, args.out, resume=not args.no_resume,
         compress=not args.no_compress,
-        salt_buckets=args.salt_buckets or SALT_BUCKETS,
+        # None → span-derived fan-out (conf.SALT_DOC_SPAN) in the driver
+        salt_buckets=args.salt_buckets,
         block=args.block or POSTING_BLOCK)
     keep = {"stage", "status", "rows", "duration_s"}
     print(json.dumps({"out": res.out_dir,
