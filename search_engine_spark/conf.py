@@ -63,6 +63,16 @@ TOP_K_DEFAULT = 10
 TOP_K_TREC = 1000  # reference run preset (src/run:25,31,36)
 RUN_ID_DEFAULT = "spark-bm25"
 
+# Cost-based retrieval strategy pick (topk_auto): block-max pruning
+# (MaxScore) wins when the θ floor converges fast — shallow k — and
+# loses to plain exhaustive scoring at TREC depth, where θ stays low
+# and every candidate probe is wasted work (measured on the 300-query
+# Zipf bench: maxscore ~2.7× faster at k=10, ~2× SLOWER at k=1000 —
+# BASELINE.md "Deep-k honesty"). The crossover sits between those two
+# measured points; 100 is the conservative pick (pruning must earn a
+# big win before we risk it).
+AUTO_PRUNE_MAX_K = 100
+
 # --- index layout -----------------------------------------------------
 N_TERM_BUCKETS = 64        # hash buckets for the persisted index table
 POSTING_BLOCK = 128        # postings per skip block (block-max metadata)
@@ -100,4 +110,17 @@ QUERY_SET: list[tuple[str, str]] = [
     ("q006", "zzzmissing spark"),
     ("q007", "customer line part small"),
     ("q008", "the a"),
+]
+
+# Fixed phrase-query set for the positional/phrase gates. Chosen from
+# the synthetic documents vocabulary so each shape of the matcher is
+# exercised: a hot bigram, a trigram, a REPEATED-term phrase (the
+# duplicate-offset join path, incl. overlapping occurrences), a rare
+# trigram, and an out-of-vocabulary miss (zero matches).
+PHRASE_SET: list[tuple[str, str]] = [
+    ("p001", "table hash"),
+    ("p002", "window fast query"),
+    ("p003", "line line"),
+    ("p004", "slow hash batch"),
+    ("p005", "spark zzzmissing"),
 ]

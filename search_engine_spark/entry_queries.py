@@ -26,8 +26,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .conf import (BM25_B, BM25_K1, PIVOT, PIVOT_SLOPE, QUERY_SET, TOKEN_RE,
-                   TOP_K_TREC, load_stopwords)
+from .conf import (BM25_B, BM25_K1, PHRASE_SET, PIVOT, PIVOT_SLOPE, QUERY_SET,
+                   TOKEN_RE, TOP_K_TREC, load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -65,12 +65,53 @@ sh AS (
 """
 
 
+POSITIONS_CTE = f"""
+ptokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+tokp AS (SELECT doc_id, l[i] AS term, i::INT AS pos
+         FROM ptokl, unnest(generate_series(1, greatest(len(l), 0))) t(i))
+"""
+
+
 def _qterms_values() -> str:
     rows = []
     for qid, title in QUERY_SET:
         for term, qtf in sorted(Counter(tokenize_py(title)).items()):
             rows.append(f"('{qid}', '{term}', {qtf})")
     return ",\n        ".join(rows)
+
+
+def _phrase_values() -> str:
+    """(qid, term, off, nt) VALUES rows for PHRASE_SET — same
+    driver-side tokenize as operators/positional.phrase_terms_df."""
+    rows = []
+    for qid, phrase in PHRASE_SET:
+        toks = tokenize_py(phrase)
+        for off, term in enumerate(toks):
+            rows.append(f"('{qid}', '{term}', {off}, {len(toks)})")
+    return ",\n        ".join(rows)
+
+
+def _phrase_qterms_values() -> str:
+    rows = []
+    for qid, phrase in PHRASE_SET:
+        for term, qtf in sorted(Counter(tokenize_py(phrase)).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ",\n        ".join(rows)
+
+
+def _phrase_pm_ctes() -> str:
+    """CTE chain ending in `pm` (qid, doc_id, phrase_tf) — the DuckDB
+    twin of operators/positional.phrase_occurrences. Assumes
+    POSITIONS_CTE's `tokp` is already in scope."""
+    return f"""ph(qid, term, off, nt) AS (VALUES
+        {_phrase_values()}),
+starts AS (SELECT ph.qid, tokp.doc_id, tokp.pos - ph.off AS start, ph.off, ph.nt
+           FROM ph JOIN tokp USING (term) WHERE tokp.pos - ph.off >= 1),
+occ AS (SELECT qid, doc_id, start FROM starts
+        GROUP BY qid, doc_id, start, nt HAVING count(DISTINCT off) = nt),
+pm AS (SELECT qid, doc_id, count(*)::INT AS phrase_tf FROM occ GROUP BY qid, doc_id)"""
 
 
 def _bm25_ctes() -> str:
@@ -306,6 +347,67 @@ def q_bm25_topk_conj_indexed(spark, sf_dir):
     idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
     q = query_terms_df(spark, QUERY_SET)
     return bm25_topk_conj_from_index(idx_dl, q, n_docs, avgdl, k=10)
+
+
+def q_bm25_topk_auto(spark, sf_dir):
+    """Cost-based strategy pick at shallow k (k=10 → the all-JVM
+    MaxScore pruned path). Same oracle as bm25_topk — whichever branch
+    the cost rule takes must be rank/score-identical."""
+    from .operators.wand import topk_auto
+    idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return topk_auto(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
+
+
+def q_bm25_topk_auto_trec(spark, sf_dir):
+    """Cost-based strategy pick at TREC depth (k=1000 > AUTO_PRUNE_MAX_K
+    → exhaustive serving from the same blocked index; pruning measured
+    2× slower at this depth — BASELINE.md 'Deep-k honesty')."""
+    from .operators.wand import topk_auto
+    idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return topk_auto(idx_dl, q, n_docs, avgdl, k=TOP_K_TREC, salt_buckets=8)
+
+
+def _pos_idx(spark, sf_dir):
+    from .operators.positional import positional_postings
+    return positional_postings(_docs(spark, sf_dir))
+
+
+def q_positions(spark, sf_dir):
+    """The positional index itself, exploded to (term, doc_id, pos)
+    scalar rows so the value gate pins every stored position."""
+    return _pos_idx(spark, sf_dir).select(
+        "term", "doc_id", F.explode("positions").alias("pos"))
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact-phrase boolean retrieval: top-20 docs per phrase by
+    occurrence count (overlaps counted; repeated-term phrases exercise
+    the duplicate-offset path; the OOV phrase matches nothing)."""
+    from .operators.positional import phrase_match_topk, phrase_terms_df
+    ph = phrase_terms_df(spark, PHRASE_SET)
+    return phrase_match_topk(_pos_idx(spark, sf_dir), ph, k=20)
+
+
+def q_phrase_stats(spark, sf_dir):
+    """Per-phrase match profile (docs matched, total occurrences)."""
+    from .operators.positional import phrase_stats, phrase_terms_df
+    ph = phrase_terms_df(spark, PHRASE_SET)
+    return phrase_stats(_pos_idx(spark, sf_dir), ph)
+
+
+def q_phrase_topk(spark, sf_dir):
+    """BM25-scored phrase retrieval: docs containing the exact phrase,
+    ranked by the BM25 score of the phrase's term bag."""
+    from .operators.positional import (phrase_bm25_topk,
+                                       phrase_query_terms_df,
+                                       phrase_terms_df)
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    ph = phrase_terms_df(spark, PHRASE_SET)
+    qt = phrase_query_terms_df(spark, PHRASE_SET)
+    return phrase_bm25_topk(tc, ds, ts, _pos_idx(spark, sf_dir), ph, qt,
+                            n_docs, avgdl, k=10)
 
 
 def q_smart_nnc(spark, sf_dir):
@@ -695,6 +797,51 @@ FROM tc"""
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
     sql["bm25_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
     sql["wand_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
+    sql["bm25_topk_auto"] = _bm25_sql(k=10)
+    sql["bm25_topk_auto_trec"] = _bm25_sql(k=TOP_K_TREC)
+
+    sql["positions"] = f"WITH {POSITIONS_CTE} SELECT term, doc_id, pos FROM tokp"
+
+    sql["phrase_match"] = f"""
+WITH {POSITIONS_CTE},
+{_phrase_pm_ctes()}
+SELECT qid, doc_id, phrase_tf, rank FROM (
+  SELECT qid, doc_id, phrase_tf,
+         (row_number() OVER (PARTITION BY qid ORDER BY phrase_tf DESC, doc_id))::INT AS rank
+  FROM pm
+) WHERE rank <= 20"""
+
+    sql["phrase_stats"] = f"""
+WITH {POSITIONS_CTE},
+{_phrase_pm_ctes()}
+SELECT qid, count(*)::BIGINT AS docs_matched,
+       sum(phrase_tf)::BIGINT AS occurrences
+FROM pm GROUP BY qid"""
+
+    sql["phrase_topk"] = f"""
+WITH {TOK_CTE},
+{POSITIONS_CTE},
+{_phrase_pm_ctes()},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_phrase_qterms_values()}),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+rs AS (SELECT s.qid, s.doc_id, s.score, pm.phrase_tf
+       FROM scored s JOIN pm USING (qid, doc_id)),
+ranked AS (SELECT qid, doc_id, score, phrase_tf,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM rs)
+SELECT qid, doc_id, rank, score, phrase_tf FROM ranked WHERE rank <= 10"""
 
     sql["trec_lines"] = f"""
 WITH {_bm25_ctes()}
@@ -1211,6 +1358,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_varbyte": q_bm25_topk_varbyte,
     "bm25_topk_trec": q_bm25_topk_trec,
     "wand_topk_trec": q_wand_topk_trec,
+    "bm25_topk_auto": q_bm25_topk_auto,
+    "bm25_topk_auto_trec": q_bm25_topk_auto_trec,
+    "positions": q_positions,
+    "phrase_match": q_phrase_match,
+    "phrase_stats": q_phrase_stats,
+    "phrase_topk": q_phrase_topk,
     "trec_lines": q_trec_lines,
     "bm25_topk_conj": q_bm25_topk_conj,
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,

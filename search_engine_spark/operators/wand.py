@@ -636,3 +636,32 @@ def wand_prune_stats(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
                             collect_stats=True)
 
     return hits.groupBy("qid", "_range").applyInPandas(stats, schema=_STATS_SCHEMA)
+
+
+def topk_auto(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
+              avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+              b: float = BM25_B, salt_buckets: int | None = None,
+              prune_max_k: int | None = None) -> DataFrame:
+    """Cost-based retrieval strategy pick — what the engine actually
+    serves with when the caller doesn't name a strategy.
+
+    Block-max pruning is an optimization with a regime: it wins when
+    the θ floor converges quickly (shallow k) and loses to plain
+    exhaustive scoring at TREC depth, where θ stays low, few blocks
+    die, and the candidate-probe machinery is pure overhead (measured
+    both ways on the 300-query Zipf bench — BASELINE.md "Deep-k
+    honesty"). Both branches are rank/score-identical to bm25_topk
+    (each is independently oracle-gated), so the pick is cost-only:
+    k ≤ prune_max_k → all-JVM MaxScore; deeper → exhaustive serving
+    from the same blocked inline-dl index. The k-th-score threshold is
+    the driver's own input, so the decision costs nothing at plan time.
+    """
+    from ..conf import AUTO_PRUNE_MAX_K
+    from .query import bm25_topk_from_index
+    if prune_max_k is None:
+        prune_max_k = AUTO_PRUNE_MAX_K
+    if k <= prune_max_k:
+        return wand_topk_maxscore(index_dl, qterms, n_docs, avgdl, k=k,
+                                  k1=k1, b=b, salt_buckets=salt_buckets)
+    return bm25_topk_from_index(index_dl, None, qterms, n_docs, avgdl,
+                                k=k, k1=k1, b=b)
