@@ -73,6 +73,18 @@ RUN_ID_DEFAULT = "spark-bm25"
 # big win before we risk it).
 AUTO_PRUNE_MAX_K = 100
 
+# --- proximity (NEAR/W) retrieval --------------------------------------
+# Window in token positions for the NEAR operator: every pair of
+# distinct query terms must co-occur within this many tokens. 8 is the
+# classic INQUERY/Indri-style default for passage-level proximity.
+NEAR_WINDOW = 8
+
+# --- fuzzy term lookup --------------------------------------------------
+# Maximum edit distance for dictionary candidates (SymSpell-style
+# deletion-neighborhood blocking is exact for distance <= 1 after the
+# levenshtein verify step; see operators/fuzzy.py).
+FUZZY_MAX_DIST = 1
+
 # --- index layout -----------------------------------------------------
 N_TERM_BUCKETS = 64        # hash buckets for the persisted index table
 POSTING_BLOCK = 128        # postings per skip block (block-max metadata)

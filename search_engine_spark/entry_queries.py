@@ -26,8 +26,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .conf import (BM25_B, BM25_K1, PHRASE_SET, PIVOT, PIVOT_SLOPE, QUERY_SET,
-                   TOKEN_RE, TOP_K_TREC, load_stopwords)
+from .conf import (BM25_B, BM25_K1, NEAR_WINDOW, PHRASE_SET, PIVOT,
+                   PIVOT_SLOPE, QUERY_SET, TOKEN_RE, TOP_K_TREC,
+                   load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -91,6 +92,46 @@ def _phrase_values() -> str:
         for off, term in enumerate(toks):
             rows.append(f"('{qid}', '{term}', {off}, {len(toks)})")
     return ",\n        ".join(rows)
+
+
+def _near_values() -> str:
+    """(qid, term, toff, nt) VALUES rows for QUERY_SET's DISTINCT
+    terms — same driver-side tokenize as
+    operators/proximity.near_query_terms_df."""
+    rows = []
+    for qid, title in QUERY_SET:
+        terms = sorted(set(tokenize_py(title)))
+        for toff, term in enumerate(terms):
+            rows.append(f"('{qid}', '{term}', {toff}, {len(terms)})")
+    return ",\n        ".join(rows)
+
+
+def _near_nm_ctes(window: int) -> str:
+    """CTE chain ending in `nm` (qid, doc_id, n_pairs, min_gap) — the
+    DuckDB twin of operators/proximity.near_match. Assumes
+    POSITIONS_CTE's `tokp` is already in scope. The oracle uses the
+    plain quadratic pair join (fine at oracle scale); the Spark side's
+    banded range join must produce the identical pair set."""
+    return f"""nq(qid, term, toff, nt) AS (VALUES
+        {_near_values()}),
+nocc AS (SELECT nq.qid, tokp.doc_id, nq.toff, nq.nt, tokp.pos
+         FROM nq JOIN tokp USING (term)),
+npres AS (SELECT qid, doc_id, count(DISTINCT toff) AS n_terms, max(nt) AS nt
+          FROM nocc GROUP BY qid, doc_id),
+npairs AS (SELECT a.qid, a.doc_id, a.toff AS t1, b.toff AS t2,
+                  min(abs(a.pos - b.pos)) AS gap
+           FROM nocc a JOIN nocc b
+             ON a.qid = b.qid AND a.doc_id = b.doc_id AND a.toff < b.toff
+           WHERE abs(a.pos - b.pos) <= {window}
+           GROUP BY 1, 2, 3, 4),
+npp AS (SELECT qid, doc_id, count(*) AS n_pairs, min(gap) AS min_gap
+        FROM npairs GROUP BY qid, doc_id),
+nm AS (SELECT npres.qid, npres.doc_id,
+              coalesce(npp.n_pairs, 0)::INT AS n_pairs,
+              npp.min_gap::INT AS min_gap
+       FROM npres LEFT JOIN npp USING (qid, doc_id)
+       WHERE npres.n_terms = npres.nt
+         AND coalesce(npp.n_pairs, 0) = npres.nt * (npres.nt - 1) / 2)"""
 
 
 def _phrase_qterms_values() -> str:
@@ -408,6 +449,26 @@ def q_phrase_topk(spark, sf_dir):
     qt = phrase_query_terms_df(spark, PHRASE_SET)
     return phrase_bm25_topk(tc, ds, ts, _pos_idx(spark, sf_dir), ph, qt,
                             n_docs, avgdl, k=10)
+
+
+def q_near_match(spark, sf_dir):
+    """NEAR/W boolean retrieval: docs where every query term occurs and
+    every pair of distinct query terms co-occurs within NEAR_WINDOW
+    tokens (banded range join — operators/proximity.py)."""
+    from .operators.proximity import near_match, near_query_terms_df
+    nq = near_query_terms_df(spark, QUERY_SET)
+    return near_match(_pos_idx(spark, sf_dir), nq, window=NEAR_WINDOW)
+
+
+def q_near_topk(spark, sf_dir):
+    """BM25-scored NEAR retrieval: NEAR/W-matching docs ranked by the
+    query bag's BM25 score, carrying min pair gap."""
+    from .operators.proximity import near_bm25_topk, near_query_terms_df
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    nq = near_query_terms_df(spark, QUERY_SET)
+    q = query_terms_df(spark, QUERY_SET)
+    return near_bm25_topk(tc, ds, ts, _pos_idx(spark, sf_dir), nq, q,
+                          n_docs, avgdl, window=NEAR_WINDOW, k=10)
 
 
 def q_smart_nnc(spark, sf_dir):
@@ -842,6 +903,36 @@ ranked AS (SELECT qid, doc_id, score, phrase_tf,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM rs)
 SELECT qid, doc_id, rank, score, phrase_tf FROM ranked WHERE rank <= 10"""
+
+    sql["near_match"] = f"""
+WITH {POSITIONS_CTE},
+{_near_nm_ctes(NEAR_WINDOW)}
+SELECT qid, doc_id, n_pairs, min_gap FROM nm"""
+
+    sql["near_topk"] = f"""
+WITH {TOK_CTE},
+{POSITIONS_CTE},
+{_near_nm_ctes(NEAR_WINDOW)},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+rs AS (SELECT s.qid, s.doc_id, s.score, nm.min_gap
+       FROM scored s JOIN nm USING (qid, doc_id)),
+ranked AS (SELECT qid, doc_id, score, min_gap,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM rs)
+SELECT qid, doc_id, rank, score, min_gap FROM ranked WHERE rank <= 10"""
 
     sql["trec_lines"] = f"""
 WITH {_bm25_ctes()}
@@ -1364,6 +1455,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match": q_phrase_match,
     "phrase_stats": q_phrase_stats,
     "phrase_topk": q_phrase_topk,
+    "near_match": q_near_match,
+    "near_topk": q_near_topk,
     "trec_lines": q_trec_lines,
     "bm25_topk_conj": q_bm25_topk_conj,
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,
