@@ -84,6 +84,11 @@ NEAR_WINDOW = 8
 # deletion-neighborhood blocking is exact for distance <= 1 after the
 # levenshtein verify step; see operators/fuzzy.py).
 FUZZY_MAX_DIST = 1
+# Score weight multiplier per edit of distance: an expansion at
+# distance d contributes qtf * FUZZY_DECAY**d, so exact hits dominate.
+# 0.5 is exactly representable in binary, keeping Spark/DuckDB/Python
+# score arithmetic bit-identical.
+FUZZY_DECAY = 0.5
 
 # --- index layout -----------------------------------------------------
 N_TERM_BUCKETS = 64        # hash buckets for the persisted index table
@@ -135,4 +140,19 @@ PHRASE_SET: list[tuple[str, str]] = [
     ("p003", "line line"),
     ("p004", "slow hash batch"),
     ("p005", "spark zzzmissing"),
+]
+
+# Fixed misspelled-query set for the fuzzy-lookup gates. Each shape of
+# the matcher is exercised against the documents vocabulary:
+# substitution + exact term, trailing insertion, deletion +
+# substitution, a query term within distance 1 of TWO dictionary terms
+# ("ag" -> "agg" and "a"), an out-of-vocabulary miss, and a repeated
+# token (qtf > 1) next to a rare exact term.
+FUZZY_SET: list[tuple[str, str]] = [
+    ("z001", "spork join"),
+    ("z002", "scann"),
+    ("z003", "quer windoq"),
+    ("z004", "ag"),
+    ("z005", "zzzmissing"),
+    ("z006", "dup fast fast"),
 ]

@@ -26,9 +26,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .conf import (BM25_B, BM25_K1, NEAR_WINDOW, PHRASE_SET, PIVOT,
-                   PIVOT_SLOPE, QUERY_SET, TOKEN_RE, TOP_K_TREC,
-                   load_stopwords)
+from .conf import (BM25_B, BM25_K1, FUZZY_DECAY, FUZZY_MAX_DIST, FUZZY_SET,
+                   NEAR_WINDOW, PHRASE_SET, PIVOT, PIVOT_SLOPE, QUERY_SET,
+                   TOKEN_RE, TOP_K_TREC, load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -78,6 +78,16 @@ tokp AS (SELECT doc_id, l[i] AS term, i::INT AS pos
 def _qterms_values() -> str:
     rows = []
     for qid, title in QUERY_SET:
+        for term, qtf in sorted(Counter(tokenize_py(title)).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ",\n        ".join(rows)
+
+
+def _fuzzy_values() -> str:
+    """(qid, qterm, qtf) VALUES rows for FUZZY_SET — same driver-side
+    tokenize as operators/fuzzy.fuzzy_query_terms_df."""
+    rows = []
+    for qid, title in FUZZY_SET:
         for term, qtf in sorted(Counter(tokenize_py(title)).items()):
             rows.append(f"('{qid}', '{term}', {qtf})")
     return ",\n        ".join(rows)
@@ -469,6 +479,28 @@ def q_near_topk(spark, sf_dir):
     q = query_terms_df(spark, QUERY_SET)
     return near_bm25_topk(tc, ds, ts, _pos_idx(spark, sf_dir), nq, q,
                           n_docs, avgdl, window=NEAR_WINDOW, k=10)
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    """Approximate dictionary lookup: every vocabulary term within
+    Levenshtein distance FUZZY_MAX_DIST of each query term, found by
+    SymSpell deletion-neighborhood blocking + exact verify
+    (operators/fuzzy.py)."""
+    from .operators.fuzzy import fuzzy_query_terms_df, fuzzy_term_candidates
+    _, _, ts, _, _ = _corpus(spark, sf_dir)
+    fq = fuzzy_query_terms_df(spark, FUZZY_SET)
+    return fuzzy_term_candidates(ts, fq, max_dist=FUZZY_MAX_DIST).select(
+        "qid", "qterm", "term", "dist", "df")
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """BM25 over the fuzzy-expanded query: expansions weighted
+    qtf * FUZZY_DECAY^dist so exact hits dominate."""
+    from .operators.fuzzy import fuzzy_bm25_topk, fuzzy_query_terms_df
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    fq = fuzzy_query_terms_df(spark, FUZZY_SET)
+    return fuzzy_bm25_topk(tc, ds, ts, fq, n_docs, avgdl,
+                           max_dist=FUZZY_MAX_DIST, k=10)
 
 
 def q_smart_nnc(spark, sf_dir):
@@ -933,6 +965,44 @@ ranked AS (SELECT qid, doc_id, score, min_gap,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM rs)
 SELECT qid, doc_id, rank, score, min_gap FROM ranked WHERE rank <= 10"""
+
+    sql["fuzzy_terms"] = f"""
+WITH {TOK_CTE},
+fq(qid, qterm, qtf) AS (VALUES
+        {_fuzzy_values()}),
+cand AS (SELECT fq.qid, fq.qterm, ts.term,
+                levenshtein(fq.qterm, ts.term)::INT AS dist, ts.df
+         FROM fq CROSS JOIN ts
+         WHERE levenshtein(fq.qterm, ts.term) <= {FUZZY_MAX_DIST})
+SELECT qid, qterm, term, dist, df FROM cand"""
+
+    sql["fuzzy_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+fq(qid, qterm, qtf) AS (VALUES
+        {_fuzzy_values()}),
+cand AS (SELECT fq.qid, fq.qterm, fq.qtf, ts.term, ts.df,
+                levenshtein(fq.qterm, ts.term)::INT AS dist
+         FROM fq CROSS JOIN ts
+         WHERE levenshtein(fq.qterm, ts.term) <= {FUZZY_MAX_DIST}),
+qw AS (SELECT qid, term, max(df) AS df,
+              sum(qtf * power({FUZZY_DECAY!r}, dist)) AS w
+       FROM cand GROUP BY qid, term),
+hits AS (
+  SELECT qw.qid, tc.doc_id,
+         qw.w * ln(1.0 + ((SELECT n FROM n) - qw.df::DOUBLE + 0.5) / (qw.df::DOUBLE + 0.5))
+              * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM qw JOIN tc USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
     sql["trec_lines"] = f"""
 WITH {_bm25_ctes()}
@@ -1457,6 +1527,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_topk": q_phrase_topk,
     "near_match": q_near_match,
     "near_topk": q_near_topk,
+    "fuzzy_terms": q_fuzzy_terms,
+    "fuzzy_topk": q_fuzzy_topk,
     "trec_lines": q_trec_lines,
     "bm25_topk_conj": q_bm25_topk_conj,
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,
