@@ -90,6 +90,12 @@ FUZZY_MAX_DIST = 1
 # score arithmetic bit-identical.
 FUZZY_DECAY = 0.5
 
+# --- pseudo-relevance feedback (operators/feedback.py) ------------------
+PRF_FB_DOCS = 10    # first-pass docs treated as pseudo-relevant
+PRF_FB_TERMS = 5    # expansion terms mined per query
+PRF_BETA = 0.5      # weight of the top expansion term relative to qtf=1;
+                    # exactly representable so engines agree bit-wise
+
 # --- index layout -----------------------------------------------------
 N_TERM_BUCKETS = 64        # hash buckets for the persisted index table
 POSTING_BLOCK = 128        # postings per skip block (block-max metadata)

@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .conf import (BM25_B, BM25_K1, FUZZY_DECAY, FUZZY_MAX_DIST, FUZZY_SET,
-                   NEAR_WINDOW, PHRASE_SET, PIVOT, PIVOT_SLOPE, QUERY_SET,
-                   TOKEN_RE, TOP_K_TREC, load_stopwords)
+                   NEAR_WINDOW, PHRASE_SET, PIVOT, PIVOT_SLOPE, PRF_BETA,
+                   PRF_FB_DOCS, PRF_FB_TERMS, QUERY_SET, TOKEN_RE, TOP_K_TREC,
+                   load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -501,6 +502,25 @@ def q_fuzzy_topk(spark, sf_dir):
     fq = fuzzy_query_terms_df(spark, FUZZY_SET)
     return fuzzy_bm25_topk(tc, ds, ts, fq, n_docs, avgdl,
                            max_dist=FUZZY_MAX_DIST, k=10)
+
+
+def q_prf_terms(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion terms: top PRF_FB_TERMS new
+    terms per query mined from the first-pass BM25 top PRF_FB_DOCS
+    docs, Rocchio weight idf * sum(tf/dl) (operators/feedback.py)."""
+    from .operators.feedback import prf_expansion_terms
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return prf_expansion_terms(tc, ds, ts, q, n_docs, avgdl)
+
+
+def q_prf_topk(spark, sf_dir):
+    """Second-pass BM25 over the PRF-expanded query (original terms at
+    qtf, expansions at beta * w / max_w)."""
+    from .operators.feedback import bm25_prf_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_prf_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
 
 
 def q_smart_nnc(spark, sf_dir):
@@ -1003,6 +1023,46 @@ ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    prf_expn_ctes = f"""fb AS (SELECT qid, doc_id FROM ranked WHERE rank <= {PRF_FB_DOCS}),
+cand AS (SELECT fb.qid, tc.term, sum(tc.tf::DOUBLE / ds.dl) AS s
+         FROM fb JOIN tc USING (doc_id) JOIN ds USING (doc_id)
+         GROUP BY fb.qid, tc.term),
+candw AS (SELECT cand.qid, cand.term,
+                 round(ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5)) * cand.s, 6) AS w
+          FROM cand JOIN ts USING (term)
+          WHERE NOT EXISTS (SELECT 1 FROM q
+                            WHERE q.qid = cand.qid AND q.term = cand.term)),
+expn AS (SELECT qid, term, w,
+                (row_number() OVER (PARTITION BY qid ORDER BY w DESC, term))::INT AS rank
+         FROM candw)"""
+
+    sql["prf_terms"] = f"""
+WITH {_bm25_ctes()},
+{prf_expn_ctes}
+SELECT qid, term, w, rank FROM expn WHERE rank <= {PRF_FB_TERMS}"""
+
+    sql["prf_topk"] = f"""
+WITH {_bm25_ctes()},
+{prf_expn_ctes},
+expw AS (SELECT qid, term, {PRF_BETA!r} * w / (max(w) OVER (PARTITION BY qid)) AS qw
+         FROM expn WHERE rank <= {PRF_FB_TERMS}),
+allq AS (SELECT qid, term, qtf::DOUBLE AS qw FROM q
+         UNION ALL SELECT qid, term, qw FROM expw),
+hits2 AS (
+  SELECT allq.qid, tc.doc_id,
+         allq.qw * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+                 * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                   / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM allq JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored2 AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+            FROM hits2 GROUP BY qid, doc_id),
+ranked2 AS (SELECT qid, doc_id, score,
+                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+            FROM scored2)
+SELECT qid, doc_id, rank, score FROM ranked2 WHERE rank <= 10"""
 
     sql["trec_lines"] = f"""
 WITH {_bm25_ctes()}
@@ -1529,6 +1589,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_topk": q_near_topk,
     "fuzzy_terms": q_fuzzy_terms,
     "fuzzy_topk": q_fuzzy_topk,
+    "prf_terms": q_prf_terms,
+    "prf_topk": q_prf_topk,
     "trec_lines": q_trec_lines,
     "bm25_topk_conj": q_bm25_topk_conj,
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,
