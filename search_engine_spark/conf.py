@@ -90,6 +90,11 @@ FUZZY_MAX_DIST = 1
 # score arithmetic bit-identical.
 FUZZY_DECAY = 0.5
 
+# --- snippets (operators/snippets.py) -----------------------------------
+# KWIC window length in tokens: the snippet is the W-token window
+# covering the most query-term occurrences (tie: earliest start).
+SNIPPET_WINDOW = 10
+
 # --- pseudo-relevance feedback (operators/feedback.py) ------------------
 PRF_FB_DOCS = 10    # first-pass docs treated as pseudo-relevant
 PRF_FB_TERMS = 5    # expansion terms mined per query

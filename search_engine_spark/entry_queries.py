@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 
 from .conf import (BM25_B, BM25_K1, FUZZY_DECAY, FUZZY_MAX_DIST, FUZZY_SET,
                    NEAR_WINDOW, PHRASE_SET, PIVOT, PIVOT_SLOPE, PRF_BETA,
-                   PRF_FB_DOCS, PRF_FB_TERMS, QUERY_SET, TOKEN_RE, TOP_K_TREC,
-                   load_stopwords)
+                   PRF_FB_DOCS, PRF_FB_TERMS, QUERY_SET, SNIPPET_WINDOW,
+                   TOKEN_RE, TOP_K_TREC, load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -502,6 +502,18 @@ def q_fuzzy_topk(spark, sf_dir):
     fq = fuzzy_query_terms_df(spark, FUZZY_SET)
     return fuzzy_bm25_topk(tc, ds, ts, fq, n_docs, avgdl,
                            max_dist=FUZZY_MAX_DIST, k=10)
+
+
+def q_snippets(spark, sf_dir):
+    """Keyword-in-context snippets for the BM25 top-10: each result
+    doc's best SNIPPET_WINDOW-token window by query-term occurrence
+    count (banded window scoring — operators/snippets.py)."""
+    from .operators.snippets import snippet_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return snippet_topk(_docs(spark, sf_dir), tc, ds, ts,
+                        _pos_idx(spark, sf_dir), q, n_docs, avgdl,
+                        window=SNIPPET_WINDOW, k=10)
 
 
 def q_prf_terms(spark, sf_dir):
@@ -1023,6 +1035,30 @@ ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["snippets"] = f"""
+WITH {_bm25_ctes()},
+{POSITIONS_CTE},
+top AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+qd AS (SELECT DISTINCT qid, term FROM q),
+socc AS (SELECT qd.qid, tokp.doc_id, tokp.pos
+         FROM qd JOIN tokp USING (term)
+         JOIN top ON top.qid = qd.qid AND top.doc_id = tokp.doc_id),
+wins AS (SELECT a.qid, a.doc_id, a.pos AS start, count(*)::INT AS n_hits
+         FROM socc a JOIN socc b
+           ON a.qid = b.qid AND a.doc_id = b.doc_id
+          AND b.pos >= a.pos AND b.pos <= a.pos + {SNIPPET_WINDOW} - 1
+         GROUP BY 1, 2, 3),
+best AS (SELECT qid, doc_id, start, n_hits,
+                row_number() OVER (PARTITION BY qid, doc_id
+                                   ORDER BY n_hits DESC, start) AS rn
+         FROM wins),
+sel AS (SELECT b.qid, b.doc_id, top.rank, b.start, b.n_hits
+        FROM best b JOIN top USING (qid, doc_id) WHERE b.rn = 1)
+SELECT sel.qid, sel.doc_id, sel.rank, sel.start, sel.n_hits,
+       array_to_string(list_slice(ptokl.l, sel.start,
+                                  sel.start + {SNIPPET_WINDOW} - 1), ' ') AS snippet
+FROM sel JOIN ptokl USING (doc_id)"""
 
     prf_expn_ctes = f"""fb AS (SELECT qid, doc_id FROM ranked WHERE rank <= {PRF_FB_DOCS}),
 cand AS (SELECT fb.qid, tc.term, sum(tc.tf::DOUBLE / ds.dl) AS s
@@ -1591,6 +1627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_topk": q_fuzzy_topk,
     "prf_terms": q_prf_terms,
     "prf_topk": q_prf_topk,
+    "snippets": q_snippets,
     "trec_lines": q_trec_lines,
     "bm25_topk_conj": q_bm25_topk_conj,
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,
