@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--no-compress", action="store_true")
     ap.add_argument("--salt-buckets", type=int, default=None)
     ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--positional", action="store_true",
+                    help="also commit the positional index stage "
+                         "(enables phrase/NEAR query modes)")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] threads (ignored under spark-submit --master)")
     args = ap.parse_args()
@@ -63,7 +66,8 @@ def main() -> None:
         compress=not args.no_compress,
         # None → span-derived fan-out (conf.SALT_DOC_SPAN) in the driver
         salt_buckets=args.salt_buckets,
-        block=args.block or POSTING_BLOCK)
+        block=args.block or POSTING_BLOCK,
+        positional=args.positional)
     keep = {"stage", "status", "rows", "duration_s"}
     print(json.dumps({"out": res.out_dir,
                       "stages": [{k: v for k, v in m.items() if k in keep}

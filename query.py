@@ -30,8 +30,14 @@ def main() -> None:
                     help="query title (repeatable); qid auto-assigned")
     ap.add_argument("--topics", help="TSV file of qid<TAB>title")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=("taat", "wand", "maxscore"),
-                    default="wand")
+    ap.add_argument("--mode",
+                    choices=("taat", "wand", "maxscore", "phrase", "near"),
+                    default="wand",
+                    help="phrase/near need an index built with "
+                         "--positional; phrase treats each title as an "
+                         "exact phrase, near as a NEAR/W term bag")
+    ap.add_argument("--near-window", type=int, default=None,
+                    help="NEAR window in tokens (default conf.NEAR_WINDOW)")
     ap.add_argument("--trec-out", help="write TREC run lines here")
     ap.add_argument("--expand", action="store_true",
                     help="join doc_map to show (conv_id, turn_idx)")
@@ -63,8 +69,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     ix = open_index(spark, args.index)
     qterms = query_terms_df(spark, queries)
-    blocked = ix.postings_blocked(qterms)  # term-bucket partition pruning
-    if args.mode == "maxscore" and ix.inline_dl:
+    if args.mode not in ("phrase", "near"):
+        blocked = ix.postings_blocked(qterms)  # term-bucket partition pruning
+    if args.mode in ("phrase", "near"):
+        from search_engine_spark.conf import NEAR_WINDOW
+        from search_engine_spark.operators.positional import (
+            phrase_bm25_topk, phrase_query_terms_df, phrase_terms_df)
+        from search_engine_spark.operators.proximity import (
+            near_bm25_topk, near_query_terms_df)
+        if args.mode == "phrase":
+            ph = phrase_terms_df(spark, queries)
+            pos = ix.positional_pruned(ph)
+            res = phrase_bm25_topk(ix.term_counts, ix.doc_stats,
+                                   ix.term_stats, pos, ph,
+                                   phrase_query_terms_df(spark, queries),
+                                   ix.n_docs, ix.avgdl, k=args.k)
+        else:
+            nq = near_query_terms_df(spark, queries)
+            pos = ix.positional_pruned(nq)
+            res = near_bm25_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
+                                 pos, nq, qterms, ix.n_docs, ix.avgdl,
+                                 window=args.near_window or NEAR_WINDOW,
+                                 k=args.k)
+        res = res.drop("phrase_tf", "min_gap")
+    elif args.mode == "maxscore" and ix.inline_dl:
         from search_engine_spark.operators.wand import wand_topk_maxscore
         res = wand_topk_maxscore(blocked, qterms, ix.n_docs, ix.avgdl,
                                  k=args.k, salt_buckets=ix.salt_buckets)

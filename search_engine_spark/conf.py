@@ -95,6 +95,11 @@ FUZZY_DECAY = 0.5
 # covering the most query-term occurrences (tie: earliest start).
 SNIPPET_WINDOW = 10
 
+# --- collocations (operators/collocations.py) ----------------------------
+# Minimum adjacent-bigram count for a collocation to be reported; PMI
+# of rare pairs is noise, and the floor also bounds the output set.
+COLLOC_MIN_COUNT = 5
+
 # --- pseudo-relevance feedback (operators/feedback.py) ------------------
 PRF_FB_DOCS = 10    # first-pass docs treated as pseudo-relevant
 PRF_FB_TERMS = 5    # expansion terms mined per query
@@ -151,6 +156,17 @@ PHRASE_SET: list[tuple[str, str]] = [
     ("p003", "line line"),
     ("p004", "slow hash batch"),
     ("p005", "spark zzzmissing"),
+]
+
+# Fixed NOT-query set for the boolean-exclusion gates:
+# (qid, positive title, excluded terms). Shapes: real exclusion that
+# thins results, multi-term exclusion, OOV exclusion (no-op), and a
+# self-exclusion (every match excluded -> empty result set).
+NOT_SET: list[tuple[str, str, str]] = [
+    ("x001", "spark join", "slow"),
+    ("x002", "hash table", "scan batch"),
+    ("x003", "dup", "zzzmissing"),
+    ("x004", "window", "window"),
 ]
 
 # Fixed misspelled-query set for the fuzzy-lookup gates. Each shape of

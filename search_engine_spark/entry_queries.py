@@ -26,10 +26,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .conf import (BM25_B, BM25_K1, FUZZY_DECAY, FUZZY_MAX_DIST, FUZZY_SET,
-                   NEAR_WINDOW, PHRASE_SET, PIVOT, PIVOT_SLOPE, PRF_BETA,
-                   PRF_FB_DOCS, PRF_FB_TERMS, QUERY_SET, SNIPPET_WINDOW,
-                   TOKEN_RE, TOP_K_TREC, load_stopwords)
+from .conf import (BM25_B, BM25_K1, COLLOC_MIN_COUNT, FUZZY_DECAY,
+                   FUZZY_MAX_DIST, FUZZY_SET, NEAR_WINDOW, NOT_SET,
+                   PHRASE_SET, PIVOT, PIVOT_SLOPE, PRF_BETA, PRF_FB_DOCS,
+                   PRF_FB_TERMS, QUERY_SET, SNIPPET_WINDOW, TOKEN_RE,
+                   TOP_K_TREC, load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -81,6 +82,24 @@ def _qterms_values() -> str:
     for qid, title in QUERY_SET:
         for term, qtf in sorted(Counter(tokenize_py(title)).items()):
             rows.append(f"('{qid}', '{term}', {qtf})")
+    return ",\n        ".join(rows)
+
+
+def _not_pos_values() -> str:
+    """(qid, term, qtf) VALUES rows for NOT_SET's positive titles."""
+    rows = []
+    for qid, title, _ in NOT_SET:
+        for term, qtf in sorted(Counter(tokenize_py(title)).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ",\n        ".join(rows)
+
+
+def _not_excl_values() -> str:
+    """(qid, term) VALUES rows for NOT_SET's excluded terms."""
+    rows = []
+    for qid, _, excl in NOT_SET:
+        for term in sorted(set(tokenize_py(excl))):
+            rows.append(f"('{qid}', '{term}')")
     return ",\n        ".join(rows)
 
 
@@ -504,6 +523,20 @@ def q_fuzzy_topk(spark, sf_dir):
                            max_dist=FUZZY_MAX_DIST, k=10)
 
 
+def q_bm25_topk_not(spark, sf_dir):
+    """Boolean NOT retrieval: disjunctive BM25 over the positive terms
+    minus every doc containing any excluded term (NOT_SET; completes
+    the OR/AND/NOT query language — operators/query.py)."""
+    from .operators.query import bm25_topk_excl
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, [(qid, title) for qid, title, _ in NOT_SET])
+    ex = spark.createDataFrame(
+        [(qid, t) for qid, _, excl in NOT_SET
+         for t in sorted(set(tokenize_py(excl)))],
+        "qid string, term string")
+    return bm25_topk_excl(tc, ds, ts, q, ex, n_docs, avgdl, k=10)
+
+
 def q_snippets(spark, sf_dir):
     """Keyword-in-context snippets for the BM25 top-10: each result
     doc's best SNIPPET_WINDOW-token window by query-term occurrence
@@ -514,6 +547,13 @@ def q_snippets(spark, sf_dir):
     return snippet_topk(_docs(spark, sf_dir), tc, ds, ts,
                         _pos_idx(spark, sf_dir), q, n_docs, avgdl,
                         window=SNIPPET_WINDOW, k=10)
+
+
+def q_collocations(spark, sf_dir):
+    """Adjacent-bigram PMI collocations over the documents corpus
+    (JVM transform bigrams, two groupBys — operators/collocations.py)."""
+    from .operators.collocations import collocations
+    return collocations(_docs(spark, sf_dir))
 
 
 def q_prf_terms(spark, sf_dir):
@@ -1034,6 +1074,50 @@ scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
 ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["collocations"] = f"""
+WITH ctokl AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+cuni AS (SELECT unnest(l) AS term FROM ctokl),
+cuc AS (SELECT term, count(*)::BIGINT AS c FROM cuni GROUP BY term),
+cbi AS (SELECT l[i] AS t1, l[i + 1] AS t2
+        FROM ctokl, unnest(generate_series(1, len(l) - 1)) t(i)),
+cbc AS (SELECT t1, t2, count(*)::BIGINT AS c_ab FROM cbi GROUP BY t1, t2),
+cu AS (SELECT sum(c)::DOUBLE AS u FROM cuc),
+ct AS (SELECT sum(c_ab)::DOUBLE AS t FROM cbc)
+SELECT cbc.t1, cbc.t2, cbc.c_ab,
+       round(ln((cbc.c_ab::DOUBLE * (SELECT u FROM cu) * (SELECT u FROM cu))
+                / ((SELECT t FROM ct) * a.c::DOUBLE * b.c::DOUBLE)), 6) AS pmi
+FROM cbc JOIN cuc a ON a.term = cbc.t1 JOIN cuc b ON b.term = cbc.t2
+WHERE cbc.c_ab >= {COLLOC_MIN_COUNT}"""
+
+    sql["bm25_topk_not"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_not_pos_values()}),
+xq(qid, term) AS (VALUES
+        {_not_excl_values()}),
+excl AS (SELECT DISTINCT xq.qid, tc.doc_id FROM xq JOIN tc USING (term)),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+kept AS (SELECT s.qid, s.doc_id, s.score FROM scored s
+         WHERE NOT EXISTS (SELECT 1 FROM excl e
+                           WHERE e.qid = s.qid AND e.doc_id = s.doc_id)),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM kept)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
     sql["snippets"] = f"""
@@ -1628,6 +1712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prf_terms": q_prf_terms,
     "prf_topk": q_prf_topk,
     "snippets": q_snippets,
+    "bm25_topk_not": q_bm25_topk_not,
+    "collocations": q_collocations,
     "trec_lines": q_trec_lines,
     "bm25_topk_conj": q_bm25_topk_conj,
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,

@@ -1,0 +1,69 @@
+"""Collocation mining: adjacent-bigram PMI over the corpus.
+
+The reference's index build computes global term statistics (df/cf —
+src/invertedIndex.py:150-170); the classic corpus-analytics operator
+one step up from unigram stats is collocation extraction: which
+adjacent token pairs co-occur far more often than their unigram
+frequencies predict. Standard PMI over adjacent bigrams:
+
+    pmi(a, b) = ln( (c_ab * U * U) / (T * c_a * c_b) )
+
+with c_ab the bigram count, c_a/c_b unigram counts, U total tokens,
+T total bigrams. The multiply order is frozen (left-assoc, all inputs
+cast to double first) and the result rounded to 6 decimals so Spark,
+DuckDB and Python produce identical values.
+
+Plan shape
+----------
+Bigrams are generated JVM-side per document with a ``transform`` over
+token indexes (0-based array subscripts) — no shuffle, no UDF, fan-out
+len-1 per doc. Then exactly two groupBys (bigram counts, unigram
+counts) and two dictionary-sized joins to attach c_a/c_b. U and T are
+driver scalars from bounded aggregations. Nothing is quadratic and no
+key is hotter than the hottest bigram — the same skew profile as the
+df/cf aggregation the build already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..conf import COLLOC_MIN_COUNT
+from ..functions.tokenize import tokens_col
+from .query import SCORE_DECIMALS
+
+
+def collocations(docs: DataFrame, text_col: str = "text",
+                 min_count: int = COLLOC_MIN_COUNT) -> DataFrame:
+    """(t1, t2, c_ab, pmi) for every adjacent bigram with
+    ``c_ab >= min_count``."""
+    toks = docs.select(tokens_col(text_col).alias("t"))
+    # 0-based array subscripts: pair i with i+1 for i in [0, size-2]
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(0, size(t) - 2), "
+            "i -> struct(t[i] AS t1, t[i + 1] AS t2))")).alias("p"))
+        .select("p.t1", "p.t2")
+    )
+    uc = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    bc = bi.groupBy("t1", "t2").agg(F.count("*").alias("c_ab"))
+    u_total = float(uc.agg(F.sum("c")).collect()[0][0] or 0.0)
+    t_total = float(bc.agg(F.sum("c_ab")).collect()[0][0] or 0.0)
+    ca = uc.select(F.col("term").alias("t1"), F.col("c").alias("_ca"))
+    cb = uc.select(F.col("term").alias("t2"), F.col("c").alias("_cb"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.lit(u_total) * F.lit(u_total))
+        / (F.lit(t_total) * F.col("_ca").cast("double")
+           * F.col("_cb").cast("double")))
+    return (
+        bc.where(F.col("c_ab") >= min_count)
+        .join(ca, "t1").join(cb, "t2")
+        .select("t1", "t2", "c_ab",
+                F.round(pmi, SCORE_DECIMALS).alias("pmi"))
+    )

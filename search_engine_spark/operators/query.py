@@ -295,6 +295,44 @@ def bm25_topk_conj(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     return _topk(scored, k)
 
 
+def bm25_topk_excl(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                   qterms: DataFrame, exterms: DataFrame, n_docs: int,
+                   avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+                   b: float = BM25_B) -> DataFrame:
+    """Boolean NOT: disjunctive BM25 over ``qterms`` minus every
+    document containing ANY of the query's excluded terms
+    (``exterms``: (qid, term) rows). The completing piece of the
+    AND/OR/NOT query language next to bm25_topk (OR) and
+    bm25_topk_conj (AND).
+
+    The excluded-doc set is a broadcast-term semi-join on tc — only
+    postings of excluded terms are touched — and the removal is a
+    left_anti join on (qid, doc_id), the same key the scoring groupBy
+    just shuffled on, so the anti-join adds no new partitioning. An
+    excluded OOV term excludes nothing; a query whose exclusions cover
+    its own matches returns no rows (strict NOT)."""
+    excl = (
+        tc.join(F.broadcast(exterms.select("qid", "term").distinct()),
+                "term", "inner")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
+    hits = tc.join(qdict, "term", "inner").join(
+        ds.select("doc_id", "dl"), "doc_id")
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
+    scored = (
+        hits.select("qid", "doc_id", partial.alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+        .join(excl, ["qid", "doc_id"], "left_anti")
+    )
+    return _topk(scored, k)
+
+
 def bm25_topk_conj_from_index(index: DataFrame, qterms: DataFrame,
                               n_docs: int, avgdl: float,
                               k: int = TOP_K_DEFAULT, k1: float = BM25_K1,

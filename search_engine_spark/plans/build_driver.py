@@ -15,6 +15,10 @@ a durable parquet commit:
                           by term_bucket = pmod(xxhash64(term), B) so
                           query-term lookups prune partitions
     stage 6  meta         (n_docs, avgdl, config fingerprint)
+    optional positional   (term, doc_id, tf, positions), term_bucket-
+                          partitioned like the index — committed only
+                          for `positional=True` builds; serves the
+                          phrase/NEAR/snippet query paths
 
 A stage directory is committed atomically: parquet write (Spark's own
 job-commit protocol gives all-or-nothing per directory), then a
@@ -46,8 +50,13 @@ from ..functions.codec import decode_index, encode_index
 from ..functions.tokenize import term_counts
 from ..operators.docids import doc_map as doc_map_of
 from ..operators.index_build import doc_stats, postings_blocked, term_stats
+from ..operators.positional import positional_postings
 
 STAGES = ("doc_map", "term_counts", "doc_stats", "term_stats", "index", "meta")
+# Optional stages: committed only when requested at build time; their
+# absence never blocks open_index (queries needing them probe the
+# handle's attribute).
+OPTIONAL_STAGES = ("positional",)
 
 
 def _marker(out_dir: str, stage: str) -> str:
@@ -83,7 +92,7 @@ def _write_marker_atomic(out_dir: str, stage: str, rec: dict) -> None:
 # Stages whose committed LAYOUT depends on build parameters. Upstream
 # stages (doc_map/term_counts/doc_stats/term_stats) are pure functions
 # of the input corpus and stay reusable across config changes.
-_CONFIG_STAGES = frozenset({"index", "meta"})
+_CONFIG_STAGES = frozenset({"index", "meta", "positional"})
 
 
 def _file_manifest(path: str) -> list[dict]:
@@ -119,7 +128,7 @@ class CheckpointedBuild:
     def __init__(self, spark: SparkSession, out_dir: str, resume: bool = True,
                  salt_buckets: int | None = None, block: int = POSTING_BLOCK,
                  n_term_buckets: int = N_TERM_BUCKETS, compress: bool = True,
-                 inline_dl: bool = True):
+                 inline_dl: bool = True, positional: bool = False):
         self.spark = spark
         self.out_dir = out_dir
         self.resume = resume
@@ -128,6 +137,7 @@ class CheckpointedBuild:
         self.n_term_buckets = n_term_buckets
         self.compress = compress
         self.inline_dl = inline_dl
+        self.positional = positional
         self.metrics: list[dict] = []
         os.makedirs(os.path.join(out_dir, "_metrics"), exist_ok=True)
 
@@ -229,11 +239,20 @@ class CheckpointedBuild:
                    "inline_dl": self.inline_dl},
             partition_by=["term_bucket"])
 
+        if self.positional:
+            pos = positional_postings(transcripts_with_ids).withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"),
+                       F.lit(self.n_term_buckets)).cast("int"))
+            self._commit("positional", pos, lineage=["transcripts"],
+                         partition_by=["term_bucket"])
+
         avgdl = float(ds.agg(F.avg("dl")).collect()[0][0] or 0.0)
         meta = {"n_docs": n_docs, "avgdl": avgdl,
                 "salt_buckets": salt_resolved, "block": self.block,
                 "n_term_buckets": self.n_term_buckets,
-                "compressed": self.compress, "inline_dl": self.inline_dl}
+                "compressed": self.compress, "inline_dl": self.inline_dl,
+                "positional": self.positional}
         meta_stage = os.path.join(self.out_dir, "meta")
         if not (self.resume and self._reusable("meta")):
             os.makedirs(meta_stage, exist_ok=True)
@@ -261,12 +280,16 @@ class OpenedIndex:
     doc_stats: DataFrame
     term_stats: DataFrame
     doc_map: DataFrame
+    term_counts: DataFrame
     n_docs: int
     avgdl: float
     compressed: bool
     inline_dl: bool
     salt_buckets: int
     n_term_buckets: int
+    # committed only for positional builds (build --positional); None
+    # otherwise — phrase/NEAR serving probes this
+    positional: DataFrame | None = None
 
     def postings_blocked(self, qterms: DataFrame | None = None) -> DataFrame:
         """Index with struct postings restored (decoding if needed).
@@ -295,6 +318,26 @@ class OpenedIndex:
         idx = idx.drop("term_bucket")
         return decode_index(idx) if self.compressed else idx
 
+    def positional_pruned(self, qterms: DataFrame) -> DataFrame:
+        """Positional postings narrowed to the query's term-hash
+        partitions + a broadcast term semi-join — the same two-stage
+        prune as postings_blocked, for the phrase/NEAR serving path.
+        Raises if the build was not positional."""
+        if self.positional is None:
+            raise FileNotFoundError(
+                "index was built without --positional; rebuild with "
+                "positional=True to serve phrase/NEAR queries")
+        buckets = [r.b for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
+            .cast("int").alias("b")).distinct().collect()]
+        return (
+            self.positional
+            .where(F.col("term_bucket").isin(buckets))
+            .join(F.broadcast(qterms.select("term").distinct()),
+                  "term", "leftsemi")
+            .drop("term_bucket")
+        )
+
 
 def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
     for stage in STAGES:
@@ -306,7 +349,9 @@ def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
     return OpenedIndex(
         index=rd("index"), doc_stats=rd("doc_stats"),
         term_stats=rd("term_stats"), doc_map=rd("doc_map"),
+        term_counts=rd("term_counts"),
         n_docs=int(meta["n_docs"]), avgdl=float(meta["avgdl"]),
         compressed=bool(meta["compressed"]), inline_dl=bool(meta["inline_dl"]),
         salt_buckets=int(meta["salt_buckets"]),
-        n_term_buckets=int(meta["n_term_buckets"]))
+        n_term_buckets=int(meta["n_term_buckets"]),
+        positional=rd("positional") if _is_done(out_dir, "positional") else None)

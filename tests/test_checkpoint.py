@@ -146,3 +146,82 @@ def test_reopened_index_serves_identical_topk(spark, built_dir, tiny_corpus):
     taat = bm25_topk_from_index(ix.postings_blocked(), None, q,
                                 ix.n_docs, ix.avgdl, k=5)
     assert key(taat) == key(direct)
+
+
+def test_positional_build_serves_phrase_and_near(spark, tiny_corpus,
+                                                 tmp_path_factory):
+    """A --positional build commits the optional stage, resume skips
+    it, and phrase/NEAR served from the PERSISTED positional index
+    equal the on-the-fly positional_postings pipeline."""
+    from collections import Counter
+
+    from search_engine_spark.functions.tokenize import tokenize_py
+    from search_engine_spark.operators.positional import (
+        phrase_bm25_topk, phrase_query_terms_df, phrase_terms_df,
+        positional_postings)
+    from search_engine_spark.operators.proximity import (near_bm25_topk,
+                                                         near_query_terms_df)
+
+    out = str(tmp_path_factory.mktemp("posidx"))
+    tw, rows = tiny_corpus
+    build_index_checkpointed(spark, tw, out, resume=True,
+                             salt_buckets=4, block=16, positional=True)
+    assert os.path.exists(os.path.join(out, "positional", "_DONE.json"))
+    res2 = build_index_checkpointed(spark, tw, out, resume=True,
+                                    salt_buckets=4, block=16,
+                                    positional=True)
+    statuses = {m["stage"]: m["status"] for m in res2.metrics}
+    assert statuses["positional"] == "skipped_resume"
+
+    ix = open_index(spark, out)
+    assert ix.positional is not None
+
+    # pick a phrase guaranteed present: hottest bigram of the corpus
+    big = Counter()
+    for _, text in rows:
+        dt = tokenize_py(text)
+        for i in range(len(dt) - 1):
+            big[(dt[i], dt[i + 1])] += 1
+    phrase = " ".join(big.most_common(1)[0][0])
+    phrases = [("p1", phrase)]
+
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    ts_ = term_stats(tc)
+    cs = corpus_stats(tw, ds)
+    fresh_pos = positional_postings(tw)
+
+    ph = phrase_terms_df(spark, phrases)
+    qt = phrase_query_terms_df(spark, phrases)
+    served = phrase_bm25_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
+                              ix.positional_pruned(ph), ph, qt,
+                              ix.n_docs, ix.avgdl, k=10)
+    direct = phrase_bm25_topk(tc, ds, ts_, fresh_pos, ph, qt,
+                              cs["N"], cs["avgdl"], k=10)
+    key = lambda df: sorted((r.qid, r.doc_id, r.rank, round(r.score, 6),
+                             r.phrase_tf) for r in df.collect())
+    assert key(served) == key(direct) and key(served)
+
+    near_qs = [("n1", phrase)]
+    nq = near_query_terms_df(spark, near_qs)
+    q = query_terms_df(spark, near_qs)
+    served_n = near_bm25_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
+                              ix.positional_pruned(nq), nq, q,
+                              ix.n_docs, ix.avgdl, k=10)
+    direct_n = near_bm25_topk(tc, ds, ts_, fresh_pos, nq, q,
+                              cs["N"], cs["avgdl"], k=10)
+    keyn = lambda df: sorted((r.qid, r.doc_id, r.rank, round(r.score, 6),
+                              r.min_gap) for r in df.collect())
+    assert keyn(served_n) == keyn(direct_n) and keyn(served_n)
+
+
+def test_positional_pruned_requires_positional_build(spark, built_dir):
+    """Opening a non-positional build and asking for phrase/NEAR
+    serving fails loudly, not with a missing-path Spark error."""
+    from search_engine_spark.operators.proximity import near_query_terms_df
+    out, _, _ = built_dir
+    ix = open_index(spark, out)
+    assert ix.positional is None
+    nq = near_query_terms_df(spark, [("n1", "a se")])
+    with pytest.raises(FileNotFoundError):
+        ix.positional_pruned(nq)

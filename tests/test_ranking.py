@@ -103,3 +103,34 @@ def test_trec_export_format(spark, built):
     assert len(lines) == 3
     parts = lines[0].split()
     assert len(parts) == 6 and parts[0] == "q1" and parts[1] == "0" and parts[5] == "spark-bm25"
+
+
+def test_bm25_exclusion_rank_identity(spark, built):
+    """NOT-semantics mode vs the filter-based oracle: same scores as
+    disjunctive BM25, minus docs containing any excluded term; a
+    self-exclusion empties the result, an OOV exclusion is a no-op."""
+    from search_engine_spark.functions.tokenize import tokenize_py
+    from search_engine_spark.operators.query import bm25_topk_excl
+    _, tc, ds, ts_, idx, cs, oracle = built
+    not_qs = [("x1", "a se moc", "ten"),
+              ("x2", "jsem ten", "zzznothing"),   # OOV exclusion: no-op
+              ("x3", "a", "a")]                   # self-exclusion: empty
+    q = query_terms_df(spark, [(qid, t) for qid, t, _ in not_qs])
+    ex = spark.createDataFrame(
+        [(qid, t) for qid, _, excl in not_qs
+         for t in sorted(set(tokenize_py(excl)))],
+        "qid string, term string")
+    got = _collect(bm25_topk_excl(tc, ds, ts_, q, ex, cs["N"], cs["avgdl"],
+                                  k=10))
+    for qid, title, excl in not_qs:
+        banned = set()
+        for t in set(tokenize_py(excl)):
+            banned.update(d for d, _ in oracle.postings.get(t, []))
+        full = oracle.bm25_topk(title, k=len(oracle.dl))
+        kept = [(d, s) for d, _, s in full if d not in banned][:10]
+        exp = [(d, i + 1, s) for i, (d, s) in enumerate(kept)]
+        g = got.get(qid, [])
+        assert [(d, r) for d, r, _ in g] == [(d, r) for d, r, _ in exp], qid
+        for (gd, _, gs), (_, _, es) in zip(g, exp):
+            assert math.isclose(gs, es, abs_tol=1e-6), f"{qid} doc {gd}"
+    assert "x3" not in got
