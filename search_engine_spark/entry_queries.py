@@ -776,6 +776,14 @@ def q_p_at_k(spark, sf_dir):
     return precision_at_k(results, _qrels(spark, sf_dir), k=10)
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """nDCG@10 per query for the BM25 run vs the deterministic qrels
+    (binary relevance; functions/evaluation.py ndcg_at_k)."""
+    from .functions.evaluation import ndcg_at_k
+    results = q_bm25_topk(spark, sf_dir)
+    return ndcg_at_k(results, _qrels(spark, sf_dir), k=10)
+
+
 MAP_SWEEP_SCHEMES = ["nnc.nnn", "lnc.ltc", "btn.ltc", "ltu.nnn"]
 MAP_SWEEP_DEPTHS = [10, 100]
 
@@ -1255,6 +1263,28 @@ SELECT nrel.qid, round(coalesce(perq.sum_p, 0) / nrel.n_rel, 6) AS ap,
        nrel.n_rel, coalesce(perq.n_ret_rel, 0)::BIGINT AS n_ret_rel
 FROM nrel LEFT JOIN perq USING (qid)"""
 
+    sql["ndcg_eval"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1),
+dcg AS (
+  SELECT r.qid, sum(1.0 / log2(r.rank + 1)) AS dcg
+  FROM runq r JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+  GROUP BY 1
+),
+idcg AS (
+  SELECT nrel.qid, sum(1.0 / log2(i + 1)) AS idcg
+  FROM nrel, unnest(generate_series(1, least(nrel.n_rel, 10))) t(i)
+  GROUP BY 1
+)
+SELECT nrel.qid, round(coalesce(dcg.dcg, 0) / idcg.idcg, 6) AS ndcg, nrel.n_rel
+FROM nrel JOIN idcg USING (qid) LEFT JOIN dcg USING (qid)"""
+
     sql["tiered_topk"] = f"""
 WITH tokl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
@@ -1719,6 +1749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_conj_indexed": q_bm25_topk_conj_indexed,
     "tiered_topk": q_tiered_topk,
     "map_eval": q_map_eval,
+    "ndcg_eval": q_ndcg_eval,
     "map_sweep": q_map_sweep,
     "p_at_k": q_p_at_k,
     "media_features": q_media_features,

@@ -60,6 +60,33 @@ def mean_average_precision(results: DataFrame, qrels: DataFrame,
         F.count("*").cast("long").alias("n_queries"))
 
 
+def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """(qid, ndcg, n_rel) — binary-relevance nDCG@k per judged query.
+
+    DCG = Σ_{rank<=k, relevant} 1/log2(rank+1); the ideal DCG packs
+    the min(k, n_rel) relevant docs into the top ranks. Queries with
+    no judged-relevant docs are excluded (same convention as MAP)."""
+    r = results.where(F.col("rank") <= k)
+    dcg = (
+        r.join(qrels, ["qid", "doc_id"], "leftsemi")
+        .groupBy("qid")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("_dcg"))
+    )
+    n_rel = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("n_rel"))
+    # ideal DCG over the sequence 1..min(k, n_rel): a JVM fold in
+    # ascending rank order (deterministic), no explode needed
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {int(k)}))), cast(0.0 as double), "
+        "(acc, i) -> acc + 1.0 / log2(i + 1))")
+    return (
+        n_rel.join(dcg, "qid", "left")
+        .select("qid",
+                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6)
+                 .alias("ndcg"),
+                "n_rel")
+    )
+
+
 def precision_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     """(qid, p_at_k) — precision of the top k ranks."""
     r = results.where(F.col("rank") <= k)

@@ -93,7 +93,21 @@ def fuzzy_term_candidates(tstats: DataFrame, fq: DataFrame,
     The dictionary side explodes map-side; the query side is broadcast,
     so the variant equi-join is shuffle-free. The exact ``levenshtein``
     verify makes the deletion blocking lossless."""
-    dv = _explode_neighborhood(tstats.select("term", "df"), "term", max_dist)
+    # length band: |len(a) - len(b)| <= lev(a, b), so dictionary terms
+    # outside [min_q - d, max_q + d] can never match ANY query term —
+    # filter them BEFORE the explode. At web scale the dictionary's
+    # long tail (concatenation junk, ids) is exactly what this drops;
+    # the bound comes from the tiny driver-side query set, stays
+    # lossless, and reaches the parquet scan as a pushable predicate
+    # on a length column when the dictionary persists one.
+    qlens = [r.l for r in fq.select(F.length("qterm").alias("l"))
+             .distinct().collect()]
+    dict_side = tstats.select("term", "df")
+    if qlens:
+        dict_side = dict_side.where(
+            F.length("term").between(min(qlens) - max_dist,
+                                     max(qlens) + max_dist))
+    dv = _explode_neighborhood(dict_side, "term", max_dist)
     qv = _explode_neighborhood(fq, "qterm", max_dist)
     return (
         dv.join(F.broadcast(qv), "variant", "inner")

@@ -56,3 +56,22 @@ def test_depth_cutoff(spark, run_and_qrels):
     # only rank-1 hit counts at depth 2 → AP = (1/1)/3
     assert got["q1"].ap == pytest.approx(1 / 3, abs=1e-6)
     assert got["q1"].n_ret_rel == 1
+
+
+def test_ndcg_at_k_golden(spark, run_and_qrels):
+    """Hand-computed binary nDCG@3:
+    q1: rel ranks {1, 3} → DCG = 1/log2(2) + 1/log2(4) = 1.5;
+        IDCG(3 rel, k=3) = 1 + 1/log2(3) + 1/2 = 2.130930
+        → 0.703917
+    q2: no relevant retrieved → 0.0 (n_rel = 1)
+    q3: judged, never retrieved → 0.0"""
+    import math
+
+    from search_engine_spark.functions.evaluation import ndcg_at_k
+    results, qrels = run_and_qrels
+    got = {r.qid: r for r in ndcg_at_k(results, qrels, k=3).collect()}
+    idcg3 = 1.0 + 1.0 / math.log2(3) + 0.5
+    assert got["q1"].ndcg == pytest.approx(round(1.5 / idcg3, 6), abs=1e-6)
+    assert got["q1"].n_rel == 3
+    assert got["q2"].ndcg == 0.0
+    assert got["q3"].ndcg == 0.0 and got["q3"].n_rel == 1
