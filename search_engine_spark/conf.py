@@ -90,6 +90,19 @@ FUZZY_MAX_DIST = 1
 # score arithmetic bit-identical.
 FUZZY_DECAY = 0.5
 
+# --- language-model ranking (operators/lm.py) ---------------------------
+# Dirichlet smoothing pseudo-count μ. In the classic Zhai & Lafferty
+# (SIGIR 2001) 100–2000 range, sized for short synthetic docs, and
+# exactly representable in binary so Spark/DuckDB/Python score
+# arithmetic is bit-comparable before rounding.
+LM_MU = 500.0
+
+# --- prefix / trailing-wildcard expansion (operators/wildcard.py) --------
+# Per-(qid, prefix) expansion cap: the top-df dictionary terms kept
+# (tie: term asc). Small enough that the sf0.01 hot one-letter prefix
+# actually exercises the truncation in the gates.
+PREFIX_MAX_EXPANSIONS = 4
+
 # --- snippets (operators/snippets.py) -----------------------------------
 # KWIC window length in tokens: the snippet is the W-token window
 # covering the most query-term occurrences (tie: earliest start).
@@ -175,6 +188,20 @@ NOT_SET: list[tuple[str, str, str]] = [
 # substitution, a query term within distance 1 of TWO dictionary terms
 # ("ag" -> "agg" and "a"), an out-of-vocabulary miss, and a repeated
 # token (qtf > 1) next to a rare exact term.
+# Fixed prefix-query set for the wildcard gates. Each whitespace token
+# is a PREFIX matching every dictionary term that starts with it.
+# Shapes: a hot one-letter prefix that overflows the expansion cap, two
+# short prefixes, a full exact word (degenerate prefix) beside a
+# one-letter one, an OOV miss beside a live prefix, and two prefixes of
+# one query reaching the SAME term ("s" and "sp" → "spark": qtf sums).
+PREFIX_SET: list[tuple[str, str]] = [
+    ("w001", "s"),
+    ("w002", "c gr"),
+    ("w003", "merge v"),
+    ("w004", "zzz qu"),
+    ("w005", "s sp"),
+]
+
 FUZZY_SET: list[tuple[str, str]] = [
     ("z001", "spork join"),
     ("z002", "scann"),

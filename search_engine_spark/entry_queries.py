@@ -27,10 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .conf import (BM25_B, BM25_K1, COLLOC_MIN_COUNT, FUZZY_DECAY,
-                   FUZZY_MAX_DIST, FUZZY_SET, NEAR_WINDOW, NOT_SET,
-                   PHRASE_SET, PIVOT, PIVOT_SLOPE, PRF_BETA, PRF_FB_DOCS,
-                   PRF_FB_TERMS, QUERY_SET, SNIPPET_WINDOW, TOKEN_RE,
-                   TOP_K_TREC, load_stopwords)
+                   FUZZY_MAX_DIST, FUZZY_SET, LM_MU, NEAR_WINDOW, NOT_SET,
+                   PHRASE_SET, PIVOT, PIVOT_SLOPE, PREFIX_MAX_EXPANSIONS,
+                   PREFIX_SET, PRF_BETA, PRF_FB_DOCS, PRF_FB_TERMS,
+                   QUERY_SET, SNIPPET_WINDOW, TOKEN_RE, TOP_K_TREC,
+                   load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
 from .operators.index_build import (doc_stats, postings_blocked,
@@ -110,6 +111,16 @@ def _fuzzy_values() -> str:
     for qid, title in FUZZY_SET:
         for term, qtf in sorted(Counter(tokenize_py(title)).items()):
             rows.append(f"('{qid}', '{term}', {qtf})")
+    return ",\n        ".join(rows)
+
+
+def _prefix_values() -> str:
+    """(qid, prefix, qtf) VALUES rows for PREFIX_SET — same driver-side
+    split as operators/wildcard.prefix_query_df."""
+    rows = []
+    for qid, title in PREFIX_SET:
+        for pfx, qtf in sorted(Counter(title.lower().split()).items()):
+            rows.append(f"('{qid}', '{pfx}', {qtf})")
     return ",\n        ".join(rows)
 
 
@@ -521,6 +532,35 @@ def q_fuzzy_topk(spark, sf_dir):
     fq = fuzzy_query_terms_df(spark, FUZZY_SET)
     return fuzzy_bm25_topk(tc, ds, ts, fq, n_docs, avgdl,
                            max_dist=FUZZY_MAX_DIST, k=10)
+
+
+def q_lm_topk(spark, sf_dir):
+    """Query-likelihood ranking with Dirichlet smoothing
+    (operators/lm.py) over the standard query set."""
+    from .operators.lm import lm_dirichlet_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    total = int(ds.agg(F.sum("dl")).collect()[0][0])
+    q = query_terms_df(spark, QUERY_SET)
+    return lm_dirichlet_topk(tc, ds, ts, q, total, mu=LM_MU, k=10)
+
+
+def q_prefix_terms(spark, sf_dir):
+    """Dictionary expansions for the prefix (trailing-wildcard) query
+    set, capped per (qid, prefix) at the top-df terms."""
+    from .operators.wildcard import prefix_expansions, prefix_query_df
+    _, _, ts, _, _ = _corpus(spark, sf_dir)
+    pq = prefix_query_df(spark, PREFIX_SET)
+    return prefix_expansions(ts, pq, PREFIX_MAX_EXPANSIONS)
+
+
+def q_prefix_topk(spark, sf_dir):
+    """BM25 over the prefix-expanded OR-disjunction (a term reached by
+    two prefixes of one query sums their qtf)."""
+    from .operators.wildcard import prefix_query_df, prefix_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    pq = prefix_query_df(spark, PREFIX_SET)
+    return prefix_topk(tc, ds, ts, pq, n_docs, avgdl, k=10,
+                       max_expansions=PREFIX_MAX_EXPANSIONS)
 
 
 def q_bm25_topk_not(spark, sf_dir):
@@ -1076,6 +1116,66 @@ hits AS (
                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
          AS partial
   FROM qw JOIN tc USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["lm_topk"] = f"""
+WITH {TOK_CTE},
+cs AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qd AS (SELECT q.qid, q.term, q.qtf, ts.cf FROM q JOIN ts USING (term)),
+ql AS (SELECT qid, sum(qtf)::DOUBLE AS qlen FROM qd GROUP BY qid),
+lmh AS (
+  SELECT qd.qid, tc.doc_id,
+         qd.qtf * ln(1.0 + tc.tf::DOUBLE * (SELECT c FROM cs)
+                           / ({LM_MU!r} * qd.cf::DOUBLE)) AS partial
+  FROM qd JOIN tc USING (term)),
+m AS (SELECT qid, doc_id, sum(partial) AS s FROM lmh GROUP BY 1, 2),
+scored AS (SELECT m.qid, m.doc_id,
+                  round(m.s + ql.qlen * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r})), 6) AS score
+           FROM m JOIN ds USING (doc_id) JOIN ql USING (qid)),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["prefix_terms"] = f"""
+WITH {TOK_CTE},
+pq(qid, prefix, qtf) AS (VALUES
+        {_prefix_values()}),
+exp AS (
+  SELECT pq.qid, pq.prefix, ts.term, ts.df, pq.qtf,
+         row_number() OVER (PARTITION BY pq.qid, pq.prefix
+                            ORDER BY ts.df DESC, ts.term) AS rn
+  FROM pq JOIN ts ON substr(ts.term, 1, length(pq.prefix)) = pq.prefix)
+SELECT qid, prefix, term, df, qtf FROM exp WHERE rn <= {PREFIX_MAX_EXPANSIONS}"""
+
+    sql["prefix_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+pq(qid, prefix, qtf) AS (VALUES
+        {_prefix_values()}),
+exp AS (
+  SELECT pq.qid, ts.term, pq.qtf,
+         row_number() OVER (PARTITION BY pq.qid, pq.prefix
+                            ORDER BY ts.df DESC, ts.term) AS rn
+  FROM pq JOIN ts ON substr(ts.term, 1, length(pq.prefix)) = pq.prefix),
+eq AS (SELECT qid, term, sum(qtf)::INT AS qtf FROM exp
+       WHERE rn <= {PREFIX_MAX_EXPANSIONS} GROUP BY 1, 2),
+hits AS (
+  SELECT eq.qid, tc.doc_id,
+         eq.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM eq JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
 ),
 scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
            FROM hits GROUP BY qid, doc_id),
@@ -1739,6 +1839,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_topk": q_near_topk,
     "fuzzy_terms": q_fuzzy_terms,
     "fuzzy_topk": q_fuzzy_topk,
+    "lm_topk": q_lm_topk,
+    "prefix_terms": q_prefix_terms,
+    "prefix_topk": q_prefix_topk,
     "prf_terms": q_prf_terms,
     "prf_topk": q_prf_topk,
     "snippets": q_snippets,

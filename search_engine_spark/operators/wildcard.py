@@ -1,0 +1,86 @@
+"""Prefix (trailing-wildcard) query expansion — ``pre*`` retrieval.
+
+The reference engine's dictionary is a sorted term file probed by
+binary search (/root/reference/src/invertedIndex.py:240-261); a
+trailing-wildcard query there is a contiguous range scan of that file.
+The Spark-native equivalent: for each driver-known prefix length L the
+term dictionary gains a ``substr(term, 1, L)`` key and equi-joins the
+broadcast query prefixes — a hash join whose key is computable inside
+whole-stage codegen, no LIKE nested-loop. On a persisted dictionary
+sorted/partitioned by term the same predicate is a min/max range prune
+per file, the columnar twin of the reference's binary search.
+
+Expansion is capped per (qid, prefix) at the ``max_expansions``
+highest-df terms (tie: term asc) — the classic lexicon-expansion guard
+that keeps a hot one-letter prefix from turning into a thousand-term
+disjunction. The per-(qid, prefix) window is rank-limited, which Spark
+executes as WindowGroupLimit: only the running top-E rows per group
+survive map-side, so a prefix matching millions of dictionary terms
+never funnels them through one reducer.
+
+Scoring: the surviving expansions form an OR-disjunction — a derived
+(qid, term, qtf) set (a term reached by two prefixes of one query sums
+their qtf) fed to the ordinary BM25 scorer.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conf import PREFIX_MAX_EXPANSIONS, TOP_K_DEFAULT
+from .query import bm25_topk
+
+
+def prefix_query_df(spark: SparkSession,
+                    prefix_set: list[tuple[str, str]]) -> DataFrame:
+    """(qid, prefix, qtf) — whitespace-split, lowercased; repeated
+    prefixes in one query accumulate qtf (driver-local: queries are
+    tiny, same convention as query_terms_df)."""
+    rows = []
+    for qid, title in prefix_set:
+        for pfx, qtf in sorted(Counter(title.lower().split()).items()):
+            rows.append((qid, pfx, qtf))
+    return spark.createDataFrame(rows, "qid string, prefix string, qtf int")
+
+
+def prefix_expansions(tstats: DataFrame, pq: DataFrame,
+                      max_expansions: int = PREFIX_MAX_EXPANSIONS) -> DataFrame:
+    """(qid, prefix, term, df, qtf) — dictionary terms starting with
+    each query prefix, top-``max_expansions`` by (df desc, term asc).
+
+    One dictionary pass per DISTINCT prefix length in the query set
+    (driver-known, a handful): each pass equi-joins on the substr key,
+    so the dictionary is never LIKE-scanned row-by-row against every
+    prefix."""
+    lens = sorted({r.l for r in
+                   pq.select(F.length("prefix").alias("l")).distinct().collect()})
+    parts = []
+    for length in lens:
+        pq_l = pq.where(F.length("prefix") == length)
+        keyed = tstats.select(
+            "term", "df", F.substring("term", 1, length).alias("prefix"))
+        parts.append(keyed.join(F.broadcast(pq_l), "prefix", "inner")
+                     .select("qid", "prefix", "term", "df", "qtf"))
+    if not parts:
+        return pq.select("qid", "prefix", F.lit(None).cast("string").alias("term"),
+                         F.lit(None).cast("long").alias("df"), "qtf").limit(0)
+    exp = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("qid", "prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (exp.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_expansions).drop("_rn"))
+
+
+def prefix_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                pq: DataFrame, n_docs: int, avgdl: float,
+                k: int = TOP_K_DEFAULT,
+                max_expansions: int = PREFIX_MAX_EXPANSIONS) -> DataFrame:
+    """Top-k BM25 over the prefix-expanded disjunction."""
+    exp = prefix_expansions(tstats, pq, max_expansions)
+    eq = (exp.groupBy("qid", "term")
+          .agg(F.sum("qtf").cast("int").alias("qtf")))
+    return bm25_topk(tc, ds, tstats, eq, n_docs, avgdl, k=k)

@@ -1,0 +1,86 @@
+"""Prefix (trailing-wildcard) expansion + retrieval vs a pure-Python
+oracle on the seeded tiny corpus: the substr-keyed equi-join must be
+exactly the startswith set, the df-cap must keep the top-df terms
+(tie: term asc), and a term reached via two prefixes of one query must
+sum its qtf before BM25."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.tokenize import term_counts, tokenize_py
+from search_engine_spark.operators.index_build import doc_stats, term_stats
+from search_engine_spark.operators.query import bm25_topk, query_terms_df
+from search_engine_spark.operators.wildcard import (prefix_expansions,
+                                                    prefix_query_df,
+                                                    prefix_topk)
+
+
+def _py_expand(vocab_df: dict[str, int], prefix_set, cap: int):
+    """(qid → {term: qtf}) via brute-force startswith, capped."""
+    out: dict[str, Counter] = defaultdict(Counter)
+    for qid, title in prefix_set:
+        for pfx, qtf in Counter(title.lower().split()).items():
+            hits = sorted((t for t in vocab_df if t.startswith(pfx)),
+                          key=lambda t: (-vocab_df[t], t))[:cap]
+            for t in hits:
+                out[qid][t] += qtf
+    return out
+
+
+def test_prefix_expansions_match_bruteforce(spark, tiny_corpus):
+    tw, rows = tiny_corpus
+    tc = term_counts(tw)
+    ts_ = term_stats(tc)
+    vocab = {r.term: r.df for r in ts_.collect()}
+    some = sorted(vocab)
+    prefix_set = [
+        ("w1", some[0][:1]),                       # 1-char fanout
+        ("w2", f"{some[1][:2]} {some[-1][:3]}"),   # two prefixes
+        ("w3", some[2]),                           # exact word
+        ("w4", "zzzzz"),                           # miss
+        ("w5", f"{some[0][:1]} {some[0][:2]}"),    # overlapping prefixes
+    ]
+    cap = 3
+    pq = prefix_query_df(spark, prefix_set)
+    got = defaultdict(set)
+    for r in prefix_expansions(ts_, pq, cap).collect():
+        got[(r.qid, r.prefix)].add((r.term, r.df))
+    exp = defaultdict(set)
+    for qid, title in prefix_set:
+        for pfx in set(title.lower().split()):
+            hits = sorted((t for t in vocab if t.startswith(pfx)),
+                          key=lambda t: (-vocab[t], t))[:cap]
+            for t in hits:
+                exp[(qid, pfx)].add((t, vocab[t]))
+    assert got == exp
+
+
+def test_prefix_topk_equals_expanded_bm25(spark, tiny_corpus):
+    """prefix_topk ≡ plain bm25_topk fed the brute-force-expanded,
+    qtf-summed term set (including the overlapping-prefix qtf sum)."""
+    tw, rows = tiny_corpus
+    tc = term_counts(tw).cache()
+    ds = doc_stats(tc)
+    ts_ = term_stats(tc)
+    vocab = {r.term: r.df for r in ts_.collect()}
+    n_docs = tw.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    some = sorted(vocab)
+    prefix_set = [("w1", f"{some[0][:1]} {some[0][:2]}"),
+                  ("w2", f"{some[3][:2]} zz")]
+    cap = 3
+    pq = prefix_query_df(spark, prefix_set)
+    got = [(r.qid, r.doc_id, r.rank, r.score) for r in
+           prefix_topk(tc, ds, ts_, pq, n_docs, avgdl, k=10,
+                       max_expansions=cap).orderBy("qid", "rank").collect()]
+    expanded = _py_expand(vocab, prefix_set, cap)
+    eq_rows = [(qid, t, int(qtf)) for qid, terms in expanded.items()
+               for t, qtf in sorted(terms.items())]
+    eq = spark.createDataFrame(eq_rows, "qid string, term string, qtf int")
+    want = [(r.qid, r.doc_id, r.rank, r.score) for r in
+            bm25_topk(tc, ds, ts_, eq, n_docs, avgdl, k=10)
+            .orderBy("qid", "rank").collect()]
+    assert got == want
