@@ -31,11 +31,14 @@ def main() -> None:
     ap.add_argument("--topics", help="TSV file of qid<TAB>title")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode",
-                    choices=("taat", "wand", "maxscore", "phrase", "near"),
+                    choices=("taat", "wand", "maxscore", "phrase", "near",
+                             "lm", "prefix"),
                     default="wand",
                     help="phrase/near need an index built with "
                          "--positional; phrase treats each title as an "
-                         "exact phrase, near as a NEAR/W term bag")
+                         "exact phrase, near as a NEAR/W term bag; lm = "
+                         "query-likelihood (Dirichlet) ranking; prefix "
+                         "treats each title token as a trailing wildcard")
     ap.add_argument("--near-window", type=int, default=None,
                     help="NEAR window in tokens (default conf.NEAR_WINDOW)")
     ap.add_argument("--trec-out", help="write TREC run lines here")
@@ -69,7 +72,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     ix = open_index(spark, args.index)
     qterms = query_terms_df(spark, queries)
-    if args.mode not in ("phrase", "near"):
+    if args.mode in ("taat", "wand", "maxscore"):
         blocked = ix.postings_blocked(qterms)  # term-bucket partition pruning
     if args.mode in ("phrase", "near"):
         from search_engine_spark.conf import NEAR_WINDOW
@@ -92,6 +95,18 @@ def main() -> None:
                                  window=args.near_window or NEAR_WINDOW,
                                  k=args.k)
         res = res.drop("phrase_tf", "min_gap")
+    elif args.mode == "lm":
+        from pyspark.sql import functions as F
+        from search_engine_spark.operators.lm import lm_dirichlet_topk
+        total = int(ix.doc_stats.agg(F.sum("dl")).collect()[0][0])
+        res = lm_dirichlet_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
+                                qterms, total, k=args.k)
+    elif args.mode == "prefix":
+        from search_engine_spark.operators.wildcard import (prefix_query_df,
+                                                            prefix_topk)
+        pq = prefix_query_df(spark, queries)
+        res = prefix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, pq,
+                          ix.n_docs, ix.avgdl, k=args.k)
     elif args.mode == "maxscore" and ix.inline_dl:
         from search_engine_spark.operators.wand import wand_topk_maxscore
         res = wand_topk_maxscore(blocked, qterms, ix.n_docs, ix.avgdl,

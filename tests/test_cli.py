@@ -1,0 +1,50 @@
+"""End-to-end CLI smoke: build.py over a seeded synthetic corpus, then
+query.py in the lm and prefix modes against the committed index. Each
+subprocess is a fresh JVM, so this also guards the spark-submit-style
+entrypoint wiring (E2 of SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _run(args: list[str]) -> str:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    p = subprocess.run([sys.executable] + args, cwd=ROOT, env=env,
+                       capture_output=True, text=True, timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    return p.stdout
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "idx")
+    _run(["build.py", "--synthetic", "30", "--out", out, "--cpus", "4"])
+    return out
+
+
+def test_cli_lm_mode(built_index):
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "lm", "--query", "a se", "--k", "5"])
+    rows = [ln.split("\t") for ln in got.strip().splitlines() if "\t" in ln]
+    assert 1 <= len(rows) <= 5
+    # rank column is 1..n; scores non-increasing (the sparse QL form is
+    # shifted from the raw log-prob, so sign is not meaningful)
+    assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
+    scores = [float(r[3]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_prefix_mode(built_index):
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "prefix", "--query", "s", "--k", "5"])
+    rows = [ln.split("\t") for ln in got.strip().splitlines() if "\t" in ln]
+    assert 1 <= len(rows) <= 5
+    assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
+    assert all(float(r[3]) > 0 for r in rows)
