@@ -563,6 +563,32 @@ def q_prefix_topk(spark, sf_dir):
                        max_expansions=PREFIX_MAX_EXPANSIONS)
 
 
+def q_rrf_topk(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and Dirichlet-QL runs
+    (operators/fusion.py) — the standard hybrid-retrieval combiner for
+    runs whose score scales are incomparable."""
+    from .operators.fusion import rrf_fuse
+    b = q_bm25_topk(spark, sf_dir).select("qid", "doc_id", "rank")
+    lm = q_lm_topk(spark, sf_dir).select("qid", "doc_id", "rank")
+    return rrf_fuse([b, lm], k=10)
+
+
+# per-stratum sampling rates for the stratified_sample gate (3-decimal
+# granularity; strata not listed fall to the default 0.1)
+STRATA_RATES = {"en": 0.25, "zh": 0.5, "fr": 1.0}
+STRATA_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsample of the documents corpus via
+    the portable md5 coin (operators/fusion.py stratified_sample)."""
+    from .operators.fusion import stratified_sample
+    d = _docs(spark, sf_dir)
+    return (stratified_sample(d, "lang", "doc_id", STRATA_RATES,
+                              default_rate=STRATA_DEFAULT)
+            .select("doc_id", "lang"))
+
+
 def q_bm25_topk_not(spark, sf_dir):
     """Boolean NOT retrieval: disjunctive BM25 over the positive terms
     minus every doc containing any excluded term (NOT_SET; completes
@@ -1183,6 +1209,41 @@ ranked AS (SELECT qid, doc_id, score,
                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["rrf_topk"] = f"""
+WITH {_bm25_ctes()},
+lmcs AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+lmqd AS (SELECT q.qid, q.term, q.qtf, ts.cf FROM q JOIN ts USING (term)),
+lmql AS (SELECT qid, sum(qtf)::DOUBLE AS qlen FROM lmqd GROUP BY qid),
+lmh AS (
+  SELECT lmqd.qid, tc.doc_id,
+         lmqd.qtf * ln(1.0 + tc.tf::DOUBLE * (SELECT c FROM lmcs)
+                             / ({LM_MU!r} * lmqd.cf::DOUBLE)) AS partial
+  FROM lmqd JOIN tc USING (term)),
+lmm AS (SELECT qid, doc_id, sum(partial) AS s FROM lmh GROUP BY 1, 2),
+lmscored AS (SELECT lmm.qid, lmm.doc_id,
+                    round(lmm.s + lmql.qlen * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r})), 6) AS score
+             FROM lmm JOIN ds USING (doc_id) JOIN lmql USING (qid)),
+lmranked AS (SELECT qid, doc_id, score,
+                    (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+             FROM lmscored),
+rruns AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10
+          UNION ALL
+          SELECT qid, doc_id, rank FROM lmranked WHERE rank <= 10),
+rscored AS (SELECT qid, doc_id, round(sum(1.0 / (60 + rank)), 6) AS score
+            FROM rruns GROUP BY 1, 2),
+rranked AS (SELECT qid, doc_id, score,
+                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+            FROM rscored)
+SELECT qid, doc_id, rank, score FROM rranked WHERE rank <= 10"""
+
+    strata_case = " ".join(
+        f"WHEN '{v}' THEN {int(round(r * 1000))}"
+        for v, r in sorted(STRATA_RATES.items()))
+    sql["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+      < CASE lang {strata_case} ELSE {int(round(STRATA_DEFAULT * 1000))} END"""
 
     sql["collocations"] = f"""
 WITH ctokl AS (
@@ -1842,6 +1903,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_topk": q_lm_topk,
     "prefix_terms": q_prefix_terms,
     "prefix_topk": q_prefix_topk,
+    "rrf_topk": q_rrf_topk,
+    "stratified_sample": q_stratified_sample,
     "prf_terms": q_prf_terms,
     "prf_topk": q_prf_topk,
     "snippets": q_snippets,

@@ -1,0 +1,74 @@
+"""Rank fusion + deterministic corpus sampling.
+
+Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+given R ranked runs over the same queries,
+
+    rrf(q, d) = Σ_r 1 / (K + rank_r(q, d))     (K = 60 classically)
+
+is the standard score-free way to combine lexically and semantically
+different retrievers (here: BM25 and Dirichlet query-likelihood, whose
+score scales are incomparable). The fusion input is the runs' (qid,
+doc_id, rank) triples only — tiny relative to the corpus — so the
+whole operator is one union + one aggregation; no posting list is
+touched again.
+
+Stratified sampling: the per-stratum rate is enforced by an
+ENGINE-PORTABLE deterministic coin — the first 15 hex digits of
+md5(doc_id) as a 60-bit integer, mod 1000 — so the same rows are
+picked by Spark, DuckDB, and Python (the repo-wide md5 convention).
+At 100 TB this is a scan + filter with no shuffle at all: the coin is
+computed per row, the stratum column is already on the row, and the
+output is written partition-local. A count-exact quota sampler would
+need a per-stratum sort or reservoir; the hash coin trades ±binomial
+jitter on the sample size for a shuffle-free plan, the right trade for
+training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..conf import TOP_K_DEFAULT
+from .query import _topk
+
+RRF_K = 60  # the SIGIR'09 constant; exactly representable
+
+
+def rrf_fuse(runs: list[DataFrame], k: int = TOP_K_DEFAULT,
+             rrf_k: int = RRF_K) -> DataFrame:
+    """(qid, doc_id, rank, score) — top-k of Σ 1/(rrf_k + rank) over
+    the given runs (each with columns qid, doc_id, rank). A doc absent
+    from a run simply contributes nothing for it — the standard RRF
+    convention."""
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    parts = [r.select("qid", "doc_id",
+                      (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank")))
+                      .alias("partial"))
+             for r in runs]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    scored = (allp.groupBy("qid", "doc_id")
+              .agg(F.sum("partial").alias("score")))
+    return _topk(scored, k)
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
+                      rates: dict[str, float],
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum subsample: a row survives iff
+    md5-coin(id) mod 1000 < rate·1000 for its stratum's rate.
+
+    `rates` maps stratum value → sampling fraction (3-decimal
+    granularity); strata not listed get `default_rate`. The coin is
+    md5 over the STRING of the id column, so any engine reproduces the
+    exact row set."""
+    coin = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                  16, 10).cast("long") % 1000
+    thr = F.lit(int(round(default_rate * 1000)))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == val,
+                     F.lit(int(round(rate * 1000)))).otherwise(thr)
+    return df.where(coin < thr)
