@@ -31,13 +31,14 @@ def main() -> None:
     ap.add_argument("--topics", help="TSV file of qid<TAB>title")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode",
-                    choices=("taat", "wand", "maxscore", "phrase", "near",
-                             "lm", "prefix"),
+                    choices=("auto", "taat", "wand", "maxscore", "phrase",
+                             "near", "lm", "prefix"),
                     default="wand",
-                    help="phrase/near need an index built with "
-                         "--positional; phrase treats each title as an "
-                         "exact phrase, near as a NEAR/W term bag; lm = "
-                         "query-likelihood (Dirichlet) ranking; prefix "
+                    help="auto = cost-based pick (MaxScore for shallow k, "
+                         "exhaustive for deep k); phrase/near need an index "
+                         "built with --positional; phrase treats each title "
+                         "as an exact phrase, near as a NEAR/W term bag; "
+                         "lm = query-likelihood (Dirichlet) ranking; prefix "
                          "treats each title token as a trailing wildcard")
     ap.add_argument("--near-window", type=int, default=None,
                     help="NEAR window in tokens (default conf.NEAR_WINDOW)")
@@ -72,7 +73,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     ix = open_index(spark, args.index)
     qterms = query_terms_df(spark, queries)
-    if args.mode in ("taat", "wand", "maxscore"):
+    if args.mode in ("auto", "taat", "wand", "maxscore"):
         blocked = ix.postings_blocked(qterms)  # term-bucket partition pruning
     if args.mode in ("phrase", "near"):
         from search_engine_spark.conf import NEAR_WINDOW
@@ -107,6 +108,10 @@ def main() -> None:
         pq = prefix_query_df(spark, queries)
         res = prefix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, pq,
                           ix.n_docs, ix.avgdl, k=args.k)
+    elif args.mode == "auto" and ix.inline_dl:
+        from search_engine_spark.operators.wand import topk_auto
+        res = topk_auto(blocked, qterms, ix.n_docs, ix.avgdl, k=args.k,
+                        salt_buckets=ix.salt_buckets)
     elif args.mode == "maxscore" and ix.inline_dl:
         from search_engine_spark.operators.wand import wand_topk_maxscore
         res = wand_topk_maxscore(blocked, qterms, ix.n_docs, ix.avgdl,

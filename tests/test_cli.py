@@ -41,6 +41,16 @@ def test_cli_lm_mode(built_index):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_cli_auto_mode(built_index):
+    """--mode auto must serve shallow k through the MaxScore branch and
+    produce a ranked result (rank-identity with taat is gated elsewhere)."""
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "auto", "--query", "a se", "--k", "5"])
+    rows = [ln.split("\t") for ln in got.strip().splitlines() if "\t" in ln]
+    assert 1 <= len(rows) <= 5
+    assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
+
+
 def test_cli_prefix_mode(built_index):
     got = _run(["query.py", "--index", built_index, "--cpus", "4",
                 "--mode", "prefix", "--query", "s", "--k", "5"])
