@@ -320,6 +320,7 @@ def main() -> None:
     # --- operator suite slice ---------------------------------------------
     suite = ["term_stats", "doc_stats", "bm25_topk", "smart_ltu",
              "phrase_topk", "near_topk", "fuzzy_topk",
+             "lm_topk", "prefix_topk", "rrf_topk", "stratified_sample",
              "dedup_exact", "lsh_candidates", "simhash",
              "embedding_topk", "embedding_lsh_topk",
              "text_quality", "token_counts", "sessionize"]
