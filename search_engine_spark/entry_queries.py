@@ -589,6 +589,20 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+# token-budget packing gate parameters (tokens = dl, the regex-token
+# count, so the oracle shares TOK_CTE)
+PACK_BUDGET = 500
+PACK_SHARDS = 8
+
+
+def q_pack_bins(spark, sf_dir):
+    """Token-budget bin packing over the documents corpus
+    (operators/packing.py): md5-sharded, cumulative-dl binning."""
+    from .operators.packing import pack_bins
+    _, ds, _, _, _ = _corpus(spark, sf_dir)
+    return pack_bins(ds.select("doc_id", "dl"), PACK_BUDGET, PACK_SHARDS)
+
+
 def q_bm25_topk_not(spark, sf_dir):
     """Boolean NOT retrieval: disjunctive BM25 over the positive terms
     minus every doc containing any excluded term (NOT_SET; completes
@@ -1244,6 +1258,19 @@ SELECT qid, doc_id, rank, score FROM rranked WHERE rank <= 10"""
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
       < CASE lang {strata_case} ELSE {int(round(STRATA_DEFAULT * 1000))} END"""
+
+    sql["pack_bins"] = f"""
+WITH {TOK_CTE},
+psh AS (SELECT doc_id, dl,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                % {PACK_SHARDS})::INT AS shard
+        FROM ds),
+pc AS (SELECT doc_id, shard, dl,
+              coalesce(sum(dl) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+       FROM psh)
+SELECT doc_id, shard, (cum // {PACK_BUDGET})::BIGINT AS bin_id, dl FROM pc"""
 
     sql["collocations"] = f"""
 WITH ctokl AS (
@@ -1905,6 +1932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_topk": q_prefix_topk,
     "rrf_topk": q_rrf_topk,
     "stratified_sample": q_stratified_sample,
+    "pack_bins": q_pack_bins,
     "prf_terms": q_prf_terms,
     "prf_topk": q_prf_topk,
     "snippets": q_snippets,
