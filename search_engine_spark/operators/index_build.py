@@ -222,6 +222,49 @@ def postings_blocked(tc: DataFrame, n_docs: int,
     return out
 
 
+def explode_blocked(index: DataFrame) -> DataFrame:
+    """Blocked index rows → the flat (doc_id, term, tf[, dl]) relation
+    they were built from (the inverse of postings_blocked's assembly;
+    df/cf/block metadata are derived columns and drop out)."""
+    has_dl = "dl" in index.schema["postings"].dataType.elementType.fieldNames()
+    return (index.select("term", F.explode("postings").alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id"), "term",
+                    F.col("p.tf").alias("tf"),
+                    *([F.col("p.dl").alias("dl")] if has_dl else [])))
+
+
+def merge_blocked_indexes(a: DataFrame, b: DataFrame, n_docs: int,
+                          salt_buckets: int | None = None,
+                          block: int = POSTING_BLOCK) -> DataFrame:
+    """Batch compaction: two blocked indexes over DISJOINT doc-id sets
+    (e.g. two ingest runs) → one blocked index, identical to a single
+    build over the union corpus (pytest identity gate).
+
+    No retokenization: both sides explode back to flat postings —
+    a map-side projection — and the union re-runs the salted blocked
+    assembly. df/cf/block metadata are recomputed exactly (they are
+    pure functions of the union), and ``n_docs`` is the UNION corpus
+    size so the salt-span geometry matches a from-scratch build. The
+    reference's analogue is its run-file merge step; here phase-1 runs
+    are re-cut because block boundaries must follow the merged doc
+    order — still one shuffle, the same cost class as its external
+    merge."""
+    ea, eb = explode_blocked(a), explode_blocked(b)
+    if set(ea.columns) != set(eb.columns):
+        raise ValueError(
+            f"layout mismatch: {sorted(ea.columns)} vs {sorted(eb.columns)}"
+            " (one index has inline dl, the other does not)")
+    flat = ea.unionByName(eb)
+    if "dl" in flat.columns:
+        ds_like = flat.select("doc_id", "dl").groupBy("doc_id").agg(
+            F.first("dl").alias("dl"))
+        return postings_blocked(flat.select("doc_id", "term", "tf"),
+                                n_docs, salt_buckets=salt_buckets,
+                                block=block, ds=ds_like)
+    return postings_blocked(flat, n_docs, salt_buckets=salt_buckets,
+                            block=block)
+
+
 def build_all(transcripts_with_ids: DataFrame, use_arrow_tokenizer: bool = True):
     """Full build: (term_counts, doc_stats, term_stats, blocked index).
 
