@@ -715,6 +715,23 @@ def q_media_wav_features(spark, sf_dir):
         "min_sample", "max_sample", "decode_ok")
 
 
+def q_media_ppm_features(spark, sf_dir):
+    """VALUE-gated image decode: a binary-PPM side-table (1×w RGB rows
+    from md5(text) digest bytes, w varying via doc_id so the header
+    parse is exercised) decoded by the REAL P6 parser
+    (operators/multimodal.py parse_ppm) and reduced to per-doc pixel
+    stats; the DuckDB oracle re-derives everything from md5(text)."""
+    from .operators.multimodal import (decode_ppm_features,
+                                       media_ppm_from_documents)
+    media = media_ppm_from_documents(_docs(spark, sf_dir))
+    return decode_ppm_features(media).select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "max_pixel", "decode_ok")
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (d.groupBy(F.md5("text").alias("text_md5"))
@@ -1399,6 +1416,20 @@ SELECT doc_id, (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
        TRUE AS decode_ok
 FROM b GROUP BY doc_id"""
 
+    sql["media_ppm_features"] = """
+WITH px AS (
+  SELECT doc_id, (1 + doc_id % 3)::INT AS w, i,
+         ('0x' || substr(md5(text), 2 * i - 1, 2))::INT AS b
+  FROM documents,
+       unnest(generate_series(1, 3 * (1 + doc_id % 3)::INT)) t(i)
+)
+SELECT doc_id, max(w) AS width, 1::INT AS height,
+       round(avg(CASE WHEN (i - 1) % 3 = 0 THEN b END), 6) AS mean_r,
+       round(avg(CASE WHEN (i - 1) % 3 = 1 THEN b END), 6) AS mean_g,
+       round(avg(CASE WHEN (i - 1) % 3 = 2 THEN b END), 6) AS mean_b,
+       max(b)::INT AS max_pixel, TRUE AS decode_ok
+FROM px GROUP BY doc_id"""
+
     sql["bm25_topk_conj"] = f"""
 WITH {TOK_CTE},
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
@@ -1955,6 +1986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smart_npc_ltc": q_smart_npc_ltc,
     "smart_Ltu_nnn": q_smart_Ltu_nnn,
     "media_wav_features": q_media_wav_features,
+    "media_ppm_features": q_media_ppm_features,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,

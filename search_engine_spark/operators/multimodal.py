@@ -211,6 +211,61 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         run, schema="doc_id long, mime string, payload binary")
 
 
+def media_ppm_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format image side-table: per doc one binary
+    P6 PPM whose 1×w pixel row (w = 1 + doc_id % 3, so the header
+    actually varies) is the first 3·w md5(text) digest bytes as RGB.
+    Same md5 convention as the WAV twin — the DuckDB oracle re-derives
+    every decoded feature from `text` alone."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5((text or "").encode("utf-8")).digest()
+                w = 1 + int(doc_id) % 3
+                px = (np.frombuffer(digest[: 3 * w], dtype=np.uint8)
+                      .reshape(1, w, 3))
+                payloads.append(ppm_bytes(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "mime": "image/x-portable-pixmap",
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, mime string, payload binary")
+
+
+PPM_FEATURES_SCHEMA = ("doc_id long, width int, height int, "
+                       "mean_r double, mean_g double, mean_b double, "
+                       "max_pixel int, decode_ok boolean")
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """binary PPM payload → per-doc image statistics via the REAL
+    parser (parse_ppm), Arrow-batched; malformed payloads yield
+    decode_ok=False rows instead of failing the job."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    px = parse_ppm(bytes(payload))
+                    h, w, _ = px.shape
+                    m = px.astype(np.float64).reshape(-1, 3).mean(axis=0)
+                    rows.append((int(doc_id), w, h,
+                                 round(float(m[0]), 6),
+                                 round(float(m[1]), 6),
+                                 round(float(m[2]), 6),
+                                 int(px.max()), True))
+                except ValueError:
+                    rows.append((int(doc_id), 0, 0, 0.0, 0.0, 0.0, 0, False))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                "max_pixel", "decode_ok"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=PPM_FEATURES_SCHEMA)
+
+
 WAV_FEATURES_SCHEMA = ("doc_id long, sample_rate int, n_samples int, "
                        "mean_sample double, min_sample int, max_sample int, "
                        "decode_ok boolean")

@@ -106,3 +106,28 @@ def test_wav_gate_pipeline_matches_python(spark):
         assert r.sample_rate == 8000 + doc_id % 8 * 1000
         assert r.min_sample == int(s.min()) and r.max_sample == int(s.max())
         assert abs(r.mean_sample - round(float(s.mean()), 6)) < 1e-9
+
+
+def test_ppm_gate_pipeline_matches_python(spark):
+    """media_ppm_from_documents → decode_ppm_features equals a pure-
+    Python recomputation from md5(text) — the unit-level twin of the
+    media_ppm_features oracle gate."""
+    import hashlib
+    import numpy as np
+    from search_engine_spark.operators.multimodal import (
+        decode_ppm_features, media_ppm_from_documents)
+    rows = [(i, f"turn text {i} " * (1 + i % 4)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           decode_ppm_features(media_ppm_from_documents(docs)).collect()}
+    assert len(got) == 20
+    for doc_id, text in rows:
+        w = 1 + doc_id % 3
+        d = np.frombuffer(hashlib.md5(text.encode()).digest(),
+                          dtype=np.uint8)[: 3 * w].astype(np.float64)
+        r = got[doc_id]
+        assert r.decode_ok and (r.width, r.height) == (w, 1)
+        assert r.max_pixel == int(d.max())
+        for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(getattr(r, name)
+                       - round(float(d[ch::3].mean()), 6)) < 1e-9
