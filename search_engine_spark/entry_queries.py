@@ -603,6 +603,28 @@ def q_pack_bins(spark, sf_dir):
     return pack_bins(ds.select("doc_id", "dl"), PACK_BUDGET, PACK_SHARDS)
 
 
+def q_merged_postings(spark, sf_dir):
+    """Batch index merge, value-gated: two blocked indexes built over
+    the even/odd doc halves merge into one
+    (operators/index_build.merge_blocked_indexes) and flatten to
+    (term, df, doc_id, tf) — which must equal the full-corpus relation
+    the oracle computes directly."""
+    from .operators.index_build import (explode_blocked,
+                                        merge_blocked_indexes,
+                                        postings_blocked)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    a = term_counts_sql(docs.where("doc_id % 2 = 0"))
+    b = term_counts_sql(docs.where("doc_id % 2 = 1"))
+    ia = postings_blocked(a, n // 2 + 1, salt_buckets=4)
+    ib = postings_blocked(b, n // 2 + 1, salt_buckets=4)
+    merged = merge_blocked_indexes(ia, ib, n, salt_buckets=8)
+    df_side = merged.select("term", "df").distinct()
+    return (explode_blocked(merged)
+            .join(df_side, "term")
+            .select("term", "df", "doc_id", "tf"))
+
+
 def q_bm25_topk_not(spark, sf_dir):
     """Boolean NOT retrieval: disjunctive BM25 over the positive terms
     minus every doc containing any excluded term (NOT_SET; completes
@@ -1275,6 +1297,11 @@ SELECT qid, doc_id, rank, score FROM rranked WHERE rank <= 10"""
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
       < CASE lang {strata_case} ELSE {int(round(STRATA_DEFAULT * 1000))} END"""
+
+    sql["merged_postings"] = f"""
+WITH {TOK_CTE}
+SELECT tc.term, ts.df, tc.doc_id, tc.tf
+FROM tc JOIN ts USING (term)"""
 
     sql["pack_bins"] = f"""
 WITH {TOK_CTE},
@@ -1964,6 +1991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_topk": q_rrf_topk,
     "stratified_sample": q_stratified_sample,
     "pack_bins": q_pack_bins,
+    "merged_postings": q_merged_postings,
     "prf_terms": q_prf_terms,
     "prf_topk": q_prf_topk,
     "snippets": q_snippets,
