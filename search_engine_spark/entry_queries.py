@@ -463,6 +463,45 @@ def q_positions(spark, sf_dir):
         "term", "doc_id", F.explode("positions").alias("pos"))
 
 
+def _persisted_index(spark, sf_dir):
+    """OpenedIndex over a REAL CheckpointedBuild (positional=True) of
+    the documents corpus, committed once per session into a temp dir —
+    the driver-gated twin of build.py's staged pipeline (reference
+    offsets/seek machinery: /root/reference/src/invertedIndex.py:
+    731-749,240-251). doc_id is pre-minted by the corpus, so the build
+    receives synthetic (conv_id, turn_idx) = (doc_id, 0)."""
+    import tempfile
+
+    from .plans.build_driver import build_index_checkpointed, open_index
+    key = (spark.sparkContext.applicationId, sf_dir, "persisted_pos_idx")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is None:
+        out = tempfile.mkdtemp(prefix="segspark_posidx_")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text",
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"))
+        build_index_checkpointed(spark, docs, out, resume=False,
+                                 salt_buckets=8, positional=True)
+        hit = open_index(spark, out)
+        _CORPUS_CACHE[key] = hit
+    return hit
+
+
+def q_positions_persisted(spark, sf_dir):
+    """`positions` served from the COMMITTED positional stage of a
+    checkpointed build instead of the on-the-fly pipeline: the
+    term_bucket partition filter prunes the parquet scan to the query
+    terms' hash partitions (positional_pruned), then positions explode
+    to the same (term, doc_id, pos) scalar rows — byte-identical to
+    the live `positions` gate restricted to the phrase vocabulary."""
+    from .operators.positional import phrase_terms_df
+    oi = _persisted_index(spark, sf_dir)
+    qterms = phrase_terms_df(spark, PHRASE_SET).select("term").distinct()
+    return oi.positional_pruned(qterms).select(
+        "term", "doc_id", F.explode("positions").alias("pos"))
+
+
 def q_phrase_match(spark, sf_dir):
     """Exact-phrase boolean retrieval: top-20 docs per phrase by
     occurrence count (overlaps counted; repeated-term phrases exercise
@@ -1093,6 +1132,15 @@ FROM tc"""
     sql["bm25_topk_auto_trec"] = _bm25_sql(k=TOP_K_TREC)
 
     sql["positions"] = f"WITH {POSITIONS_CTE} SELECT term, doc_id, pos FROM tokp"
+
+    # persisted twin: identical positions relation restricted to the
+    # phrase vocabulary (the partition-pruned serving path)
+    _ph_vocab = ", ".join(
+        f"'{t}'" for t in
+        sorted({t for _, p in PHRASE_SET for t in tokenize_py(p)}))
+    sql["positions_persisted"] = (
+        f"WITH {POSITIONS_CTE} SELECT term, doc_id, pos FROM tokp "
+        f"WHERE term IN ({_ph_vocab})")
 
     sql["phrase_match"] = f"""
 WITH {POSITIONS_CTE},

@@ -9,81 +9,93 @@ surrogate ``doc_id`` = rank over ORDER BY (conv_id, turn_idx), plus a
 Scale design: a naive ``row_number() OVER (ORDER BY ...)`` is a
 single-partition global sort — a non-starter at 10^12 turns. Instead:
 
-1. a thin seeded sample of conv_ids, CAPPED at ``sample_cap`` rows
-   before anything reaches the driver (at 10^12 turns an uncapped
-   distinct-sample would itself be billions of rows) → B-1 range
-   splitters picked evenly from the sorted capped sample;
-2. bucket each row by splitter rank (an O(B) aggregate expression,
-   JVM-side — all rows of bucket i order before bucket i+1);
-3. local rank within bucket (window partitioned by bucket — bounded
-   partitions, sort-based, spills);
-4. bucket row-counts → cumulative offsets (≤B rows on the driver) →
-   broadcast-joined back; doc_id = offset + local_rank.
+1. ``repartitionByRange(n_buckets, conv_id, turn_idx)`` — Spark's
+   RangePartitioner: reservoir-sampled splitters (bounded, JVM-side)
+   and O(log B) binary-search bucket assignment per row, so the
+   per-row cost is independent of the bucket count (the former
+   hand-rolled splitter scan was O(B) per row — quadratic-ish work
+   once B itself scales with the corpus);
+2. ``sortWithinPartitions(conv_id, turn_idx)`` — per-task external
+   sort of ≤ ~span rows, spills to disk, never a global sort;
+3. ``monotonically_increasing_id()`` over the sorted partitions —
+   local rank computed map-side in the same stage, zero extra
+   shuffle (ids are (partition << 33) + row-position; only the
+   within-partition ordering is used, via min-per-partition);
+4. per-partition row counts → cumulative offsets (≤ n_buckets rows on
+   the driver) → broadcast-joined back; doc_id = offset + local rank.
 
-Total: one shuffle for the window + one broadcast join. Every driver
-collect is bounded: the splitter sample by ``sample_cap``, the offset
-table by ``n_buckets``. The final doc_id does NOT depend on where the
-splitters land (any order-consistent bucketing yields the same global
-rank), so the cap/limit cannot change results — splitter quality only
-shapes partition balance.
+``n_buckets`` derives from a FROZEN per-bucket doc span
+(``DOCID_DOC_SPAN``), mirroring conf.salt_buckets_for: at 10^12 turns
+the fan-out grows to ~2.5×10^5 buckets instead of one bucket growing
+to ~1.6×10^10 rows — per-task sort work stays constant in corpus
+size. Total: ONE shuffle (the range exchange; the counts pass reuses
+its map output) + one broadcast join. The final doc_id does NOT
+depend on where the range splitters land (any order-consistent
+bucketing yields the same global rank), so sampling cannot change
+results — splitter quality only shapes partition balance.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+# Frozen per-bucket doc span for the range shuffle: each bucket's
+# within-partition sort handles ~4M narrow rows (conv_id, turn_idx,
+# text references) — comfortably in-memory per task, spill-safe
+# beyond. 10^12 turns → ~2.5×10^5 buckets, each constant-sized.
+DOCID_DOC_SPAN = 4_000_000
 
 
-def _bucket_col(splitters: list[str]) -> F.Column:
-    """Number of splitters <= conv_id — a branch-free searchsorted."""
-    if not splitters:
-        return F.lit(0)
-    arr = F.array(*[F.lit(s) for s in splitters])
-    return F.aggregate(
-        arr, F.lit(0),
-        lambda acc, s: acc + F.when(F.col("conv_id") >= s, 1).otherwise(0),
-    )
+def docid_buckets_for(n_docs: int, n_buckets: int | None = None) -> int:
+    """Resolve an explicit bucket-count override (tests pin small
+    counts) or derive the fan-out from the frozen span."""
+    if n_buckets is not None:
+        return max(1, n_buckets)
+    return max(1, -(-int(max(1, n_docs)) // DOCID_DOC_SPAN))
 
 
-def mint_doc_ids(transcripts: DataFrame, n_buckets: int = 64,
-                 sample_fraction: float = 0.05, seed: int = 42,
-                 sample_cap: int = 100_000) -> DataFrame:
+def mint_doc_ids(transcripts: DataFrame, n_buckets: int | None = None,
+                 n_docs: int | None = None) -> DataFrame:
     """Return transcripts + dense int64 ``doc_id`` ordered by
     (conv_id, turn_idx), without a global single-partition sort and
-    without any unbounded driver-side collect."""
+    without any unbounded driver-side collect.
+
+    ``n_docs`` skips the sizing count when the caller already knows
+    the corpus size; ``n_buckets`` pins the range fan-out explicitly
+    (layout determinism in tests) — by default it is span-derived so
+    per-task work is constant in corpus size."""
     spark = transcripts.sparkSession
-    sample = (
-        transcripts.select("conv_id")
-        .sample(fraction=min(1.0, sample_fraction), seed=seed)
-        .distinct().limit(sample_cap)
-        .collect()
-    )
-    convs = sorted(r.conv_id for r in sample)
-    if len(convs) > n_buckets:
-        step = len(convs) / n_buckets
-        splitters = sorted({convs[int(i * step)] for i in range(1, n_buckets)})
-    else:
-        splitters = convs[1:]
+    if n_buckets is None:
+        if n_docs is None:
+            # parquet-metadata-cheap sizing pass; callers on derived
+            # inputs pass n_docs to skip it
+            n_docs = transcripts.count()
+        n_buckets = docid_buckets_for(n_docs)
+    n_buckets = max(1, n_buckets)
 
-    bucketed = transcripts.withColumn("_bkt", _bucket_col(splitters))
-    w = Window.partitionBy("_bkt").orderBy("conv_id", "turn_idx")
-    ranked = bucketed.withColumn("_lrank", F.row_number().over(w))
+    ranged = (transcripts
+              .repartitionByRange(n_buckets, "conv_id", "turn_idx")
+              .sortWithinPartitions("conv_id", "turn_idx")
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_mid", F.monotonically_increasing_id()))
 
-    counts = (
-        bucketed.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
-        .orderBy("_bkt").collect()
-    )
-    offsets, acc = {}, 0
-    for r in counts:
-        offsets[r._bkt] = acc
+    # ≤ n_buckets narrow rows on the driver; the range-shuffle map
+    # output is reused by the main job (same lineage → same stage)
+    counts = (ranged.groupBy("_pid")
+              .agg(F.count("*").alias("_cnt"), F.min("_mid").alias("_base"))
+              .collect())
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r._pid):
+        offsets.append((r._pid, acc, r._base))
         acc += r._cnt
-    off_df = spark.createDataFrame(
-        [(k, v) for k, v in offsets.items()], "_bkt int, _off long")
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long, _base long")
     return (
-        ranked.join(F.broadcast(off_df), "_bkt")
-        .withColumn("doc_id", (F.col("_off") + F.col("_lrank") - 1).cast("long"))
-        .drop("_bkt", "_lrank", "_off")
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id",
+                    (F.col("_off") + F.col("_mid") - F.col("_base"))
+                    .cast("long"))
+        .drop("_pid", "_mid", "_off", "_base")
     )
 
 

@@ -235,10 +235,18 @@ def explode_blocked(index: DataFrame) -> DataFrame:
 
 def merge_blocked_indexes(a: DataFrame, b: DataFrame, n_docs: int,
                           salt_buckets: int | None = None,
-                          block: int = POSTING_BLOCK) -> DataFrame:
+                          block: int = POSTING_BLOCK,
+                          validate: bool = False) -> DataFrame:
     """Batch compaction: two blocked indexes over DISJOINT doc-id sets
     (e.g. two ingest runs) → one blocked index, identical to a single
     build over the union corpus (pytest identity gate).
+
+    ``validate=True`` makes a contract violation LOUD: overlapping
+    doc-id sets would otherwise silently yield duplicate (term, doc)
+    postings and inflated df/cf. The check is one distinct-intersect
+    over the two narrow doc-id projections — cheap next to the merge
+    shuffle itself; leave it off only when disjointness is guaranteed
+    upstream (e.g. ingest runs partitioned by arrival).
 
     No retokenization: both sides explode back to flat postings —
     a map-side projection — and the union re-runs the salted blocked
@@ -254,6 +262,14 @@ def merge_blocked_indexes(a: DataFrame, b: DataFrame, n_docs: int,
         raise ValueError(
             f"layout mismatch: {sorted(ea.columns)} vs {sorted(eb.columns)}"
             " (one index has inline dl, the other does not)")
+    if validate:
+        overlap = (ea.select("doc_id").distinct()
+                   .intersect(eb.select("doc_id").distinct()))
+        sample = overlap.limit(5).collect()
+        if sample:
+            raise ValueError(
+                "merge_blocked_indexes requires disjoint doc-id sets; "
+                f"overlapping ids include {sorted(r.doc_id for r in sample)}")
     flat = ea.unionByName(eb)
     if "dl" in flat.columns:
         ds_like = flat.select("doc_id", "dl").groupBy("doc_id").agg(

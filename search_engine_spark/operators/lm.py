@@ -8,8 +8,10 @@ SIGIR 2001): only matched (term, doc) pairs contribute
     qtf · ln(1 + tf·C / (μ·cf))
 
 and the doc-only constant  qlen · ln(μ / (dl + μ))  is added once per
-candidate doc, so the score equals the full log-likelihood over the
-query vocabulary without materializing tf = 0 pairs. Candidate set =
+candidate doc. The result is RANK-EQUIVALENT to the full Dirichlet
+query log-likelihood — the doc-independent term Σ qtf·ln p(t|C) is
+dropped, so scores are not comparable across formulations (they are
+not true log-probabilities) — without materializing tf = 0 pairs. Candidate set =
 docs matching ≥1 query term, the same convention as the BM25/SMART
 scorers here; query terms absent from the collection drop out exactly
 like the reference's dictionary-miss path

@@ -40,8 +40,14 @@ def pack_bins(doc_tokens: DataFrame, budget: int, shards: int,
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     cum = F.coalesce(F.sum(tok_col).over(w), F.lit(0).cast("long"))
-    return d.select(
-        id_col,
-        "shard",
-        (cum / budget).cast("long").alias("bin_id"),
-        tok_col)
+    # integer floor division (`div`), never double `/`: the oracle
+    # floors exactly, and for very large per-shard cumulative sums a
+    # correctly-rounded double quotient can round UP across an integer
+    # boundary and disagree (ADVICE r3)
+    return (d.select(F.col(id_col), F.col("shard"), cum.alias("_cum"),
+                     F.col(tok_col))
+            .select(
+                id_col,
+                "shard",
+                F.expr(f"_cum div {int(budget)}").cast("long").alias("bin_id"),
+                tok_col))

@@ -225,6 +225,14 @@ def wand_topk(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     return _topk(local, k)
 
 
+def _n_ranges(n_docs: int, salt_buckets: int | None) -> int:
+    """Number of salt ranges `_range_col` can produce — the frozen-span
+    geometry of conf.salt_buckets_for (explicit bucket counts resolve
+    to themselves; None derives from SALT_DOC_SPAN)."""
+    from ..conf import salt_buckets_for
+    return salt_buckets_for(max(1, n_docs), salt_buckets)
+
+
 def _range_col(index_dl: DataFrame, n_docs: int, salt_buckets: int | None) -> F.Column:
     if "salt" in index_dl.columns:
         return F.col("salt").cast("int")
@@ -270,26 +278,39 @@ def _default_champions(k: int) -> int:
     return max(16, 2 * ((k + 127) // 128) + 8)
 
 
-def _champion_keys(meta: DataFrame, champion_blocks: int) -> DataFrame:
+def _champion_keys(meta: DataFrame, champion_blocks: int,
+                   n_ranges: int) -> DataFrame:
     """Champion block keys (qid, qtf, term, first_doc_id), selected with
-    BOUNDED per-qid state only. A naive ``Window.partitionBy("qid")``
-    over the raw block metadata funnels every (query term × block) row
-    of a qid — ~10^8 rows for a stopword at 10^12 docs — through one
-    reducer. Instead:
+    state bounded CONSTANT in corpus size. A naive
+    ``Window.partitionBy("qid")`` over the raw block metadata funnels
+    every (query term × block) row of a qid — ~10^8 rows for a stopword
+    at 10^12 docs — through one reducer. With span-derived salting even
+    the per-(term, range) run maxima grow linearly with the corpus
+    (#salt-ranges = ceil(n_docs / span)), so a two-level scheme still
+    leaves an unbounded window. Instead:
 
-    level 1: best block per (qid, term, salt range) via a plain
-             aggregation (map-side partial max; no window, no skew);
-    level 2: global top-C per qid over the run maxima — the only
-             qid-partitioned window, over ≤ #query-terms × #salt-ranges
-             NARROW rows per qid.
+    level 1: best block per (qid, term, COARSE range span) via a plain
+             aggregation (map-side partial max; no window, no skew).
+             The coarse span groups G = ceil(n_ranges /
+             champion_blocks) consecutive salt ranges, so each (qid,
+             term) contributes ≤ champion_blocks rows REGARDLESS of
+             corpus size;
+    level 2: global top-C per qid over those maxima — the only
+             qid-partitioned window, over ≤ #query-terms ×
+             champion_blocks NARROW rows per qid, constant in corpus
+             size.
 
-    Restricting champions to ≤ 1 block per (term, range) run is sound:
-    the champion pass derives a score LOWER bound from whatever block
-    subset it scores, so ANY champion choice yields a valid θ floor —
-    subsetting can only (marginally) weaken pruning, never correctness.
-    The top blocks of a term live in distinct runs almost always, so
-    the practical θ is unchanged."""
-    run_best = (meta.groupBy("qid", "qtf", "term", "_range")
+    Restricting champions to ≤ 1 block per (term, coarse span) is
+    sound: the champion pass derives a score LOWER bound from whatever
+    block subset it scores, so ANY champion choice yields a valid θ
+    floor — subsetting can only (marginally) weaken pruning, never
+    correctness (property-gated: salted ≡ unsalted ≡ exhaustive). When
+    n_ranges ≤ champion_blocks the coarse span is a single range and
+    the selection is identical to the former per-run scheme."""
+    coarse_span = max(1, -(-n_ranges // max(1, champion_blocks)))
+    run_best = (meta.groupBy("qid", "qtf", "term",
+                             (F.col("_range") / coarse_span).cast("long")
+                             .alias("_cspan"))
                 .agg(F.max(F.struct("_ub", "first_doc_id")).alias("m"))
                 .select("qid", "qtf", "term",
                         F.col("m._ub").alias("_ub"),
@@ -302,7 +323,8 @@ def _champion_keys(meta: DataFrame, champion_blocks: int) -> DataFrame:
 
 def _theta_floor(index_dl: DataFrame, meta: DataFrame, n_docs: int,
                  avgdl: float, k: int, k1: float, b: float,
-                 champion_blocks: int) -> DataFrame:
+                 champion_blocks: int,
+                 salt_buckets: int | None = None) -> DataFrame:
     """Champion-block pass: exact-score only the ``champion_blocks``
     highest-ub blocks per qid (a few hundred postings — plain explode +
     groupBy, JVM-side). A doc's partial sum over a block subset is a
@@ -310,8 +332,10 @@ def _theta_floor(index_dl: DataFrame, meta: DataFrame, n_docs: int,
     ``_theta0`` is ≤ the true k-th best score: a sound global θ floor
     with ≥ k docs known to reach it. Empty (no row for a qid) when the
     pass covers < k docs — callers treat that as 'no pruning'."""
-    champ = index_dl.join(F.broadcast(_champion_keys(meta, champion_blocks)),
-                          ["term", "first_doc_id"])
+    champ = index_dl.join(
+        F.broadcast(_champion_keys(meta, champion_blocks,
+                                   _n_ranges(n_docs, salt_buckets))),
+        ["term", "first_doc_id"])
     dfc = F.col("df").cast("double")
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
     pe = champ.select("qid", "qtf", idf.alias("_idf"),
@@ -391,7 +415,7 @@ def _pruned_hits(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
         hits = arrays.withColumn("_theta0", F.lit(None).cast("double"))
     else:
         theta = _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b,
-                             champion_blocks)
+                             champion_blocks, salt_buckets)
         tmax, rub = _bound_tables(meta)
         hits = (arrays
                 .join(tmax, ["qid", "_range", "term"])
@@ -436,7 +460,8 @@ def wand_topk_hybrid(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
     if champion_blocks is None:
         champion_blocks = _default_champions(k)
     meta = _block_meta(index_dl, qterms, n_docs, avgdl, k1, b, salt_buckets)
-    theta = _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b, champion_blocks)
+    theta = _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b,
+                         champion_blocks, salt_buckets)
     tmax, rub = _bound_tables(meta)
     dfc = F.col("df").cast("double")
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - dfc + 0.5) / (dfc + 0.5))
@@ -501,7 +526,7 @@ def wand_topk_maxscore(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
         # collected are ≤ one per qid.
         theta = {r.qid: r._theta0 for r in
                  _theta_floor(index_dl, meta, n_docs, avgdl, k, k1, b,
-                              champion_blocks).collect()}
+                              champion_blocks, salt_buckets).collect()}
     by_qid: dict[str, list] = {}
     for r in stats:
         by_qid.setdefault(r.qid, []).append(r)

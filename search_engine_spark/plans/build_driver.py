@@ -246,6 +246,15 @@ class CheckpointedBuild:
                        F.lit(self.n_term_buckets)).cast("int"))
             self._commit("positional", pos, lineage=["transcripts"],
                          partition_by=["term_bucket"])
+        elif _is_done(self.out_dir, "positional"):
+            # a non-positional (re)build must never leave a previous
+            # corpus's positional stage loadable: open_index gates on
+            # the marker, so drop it — otherwise phrase/NEAR queries
+            # would silently serve stale positions while meta claims
+            # positional=False
+            os.remove(_marker(self.out_dir, "positional"))
+            self._log({"stage": "positional", "status": "invalidated_stale",
+                       "lineage": ["transcripts"]})
 
         avgdl = float(ds.agg(F.avg("dl")).collect()[0][0] or 0.0)
         meta = {"n_docs": n_docs, "avgdl": avgdl,
@@ -354,4 +363,12 @@ def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
         compressed=bool(meta["compressed"]), inline_dl=bool(meta["inline_dl"]),
         salt_buckets=int(meta["salt_buckets"]),
         n_term_buckets=int(meta["n_term_buckets"]),
-        positional=rd("positional") if _is_done(out_dir, "positional") else None)
+        # positional loads only when BOTH meta says the build was
+        # positional AND the stage marker exists — a stale marker from
+        # a previous build under the same out_dir (or a positional dir
+        # whose build was later re-run non-positionally) never serves
+        # positions for the wrong corpus. Pre-gating metas that lack
+        # the key default to trusting the marker.
+        positional=rd("positional")
+        if bool(meta.get("positional", True)) and _is_done(out_dir, "positional")
+        else None)

@@ -225,3 +225,24 @@ def test_positional_pruned_requires_positional_build(spark, built_dir):
     nq = near_query_terms_df(spark, [("n1", "a se")])
     with pytest.raises(FileNotFoundError):
         ix.positional_pruned(nq)
+
+
+def test_nonpositional_rebuild_invalidates_stale_positional(
+        spark, tiny_corpus, tmp_path_factory):
+    """Rebuilding an out_dir WITHOUT positional=True must not leave the
+    previous build's positional stage loadable: the stale marker is
+    dropped, meta records positional=False, and open_index refuses to
+    serve positions (ADVICE r3: stale-positional hazard)."""
+    out = str(tmp_path_factory.mktemp("staleidx"))
+    tw, _ = tiny_corpus
+    build_index_checkpointed(spark, tw, out, resume=True,
+                             salt_buckets=4, block=16, positional=True)
+    assert os.path.exists(os.path.join(out, "positional", "_DONE.json"))
+    # same dir, positional dropped from the config — e.g. corpus changed
+    build_index_checkpointed(spark, tw, out, resume=False,
+                             salt_buckets=4, block=16, positional=False)
+    assert not os.path.exists(os.path.join(out, "positional", "_DONE.json"))
+    ix = open_index(spark, out)
+    assert ix.positional is None
+    with open(os.path.join(out, "meta", "_DONE.json")) as f:
+        assert json.load(f)["extra"]["positional"] is False
