@@ -1012,6 +1012,69 @@ def q_sessionize(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_sessionize_stream(spark, sf_dir):
+    """STREAMING sessionization value gate: the applyInPandasWithState
+    operator (streaming/sessionize_stream.py) replays events.parquet
+    as 3 time-ordered micro-batches plus a final per-user FLUSH batch
+    (one sentinel event > gap beyond the corpus max ts). The sentinel
+    closes every user's trailing session and itself stays withheld in
+    state, so the emitted closed-session stream equals the full BATCH
+    sessionize relation — gated against the same SQL oracle. Proves
+    cross-micro-batch state carry through the driver contract, not
+    just pytest."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from .streaming.sessionize_stream import sessionize_stream
+    key = (spark.sparkContext.applicationId, sf_dir, "sessionize_stream")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.orderBy("ts", "event_id")
+    evr = ev.withColumn("_rn", F.row_number().over(w))
+    n = evr.count()
+    root = tempfile.mkdtemp(prefix="segspark_sess_")
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    for i, (lo, hi) in enumerate(cuts):
+        (evr.where((F.col("_rn") > lo) & (F.col("_rn") <= hi)).drop("_rn")
+         .coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}"))
+    flush = (ev.groupBy("user_id")
+             .agg(F.max("ts").alias("ts"))
+             .select(F.lit(-1).cast("long").alias("event_id"),
+                     (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+                     "user_id",
+                     F.lit("flush").alias("event_type"),
+                     F.lit(0.0).alias("value"),
+                     F.lit(None).cast("string").alias("props"))
+             .select(*ev.columns))
+    flush.coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk3")
+    # strictly increasing mtimes pin the file source's arrival order
+    # (it batches by (modTime, path)); the flush batch must be LAST
+    base = 1_000_000_000
+    for i in range(4):
+        d = f"{root}/chunk{i}"
+        for fn in sorted(_os.listdir(d)):
+            _os.utime(_os.path.join(d, fn), (base + 10 * i, base + 10 * i))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    qn = "sess_closed_gate"
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName(qn)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", f"{root}/_ckpt").start())
+    q.awaitTermination(300)
+    res = spark.table(qn).select(
+        "user_id", "start_us", "end_us", "n_events",
+        F.round("sum_value", 4).alias("sum_value"))
+    _CORPUS_CACHE[key] = res
+    return res
+
+
 # ---------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------
@@ -2007,6 +2070,29 @@ SELECT user_id, sess_no, count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM sess GROUP BY user_id, sess_no"""
 
+    # streaming twin: the flush sentinel closes every trailing session,
+    # so the closed-session stream equals the FULL batch relation
+    # (user_id stringified by the stateful operator's fixed schema)
+    sql["sessionize_stream"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS sess_no
+  FROM flagged
+)
+SELECT user_id::VARCHAR AS user_id,
+       min(epoch_us(ts))::BIGINT AS start_us, max(epoch_us(ts))::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sess_no"""
+
     return sql
 
 
@@ -2080,4 +2166,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "sessionize": q_sessionize,
+    "positions_persisted": q_positions_persisted,
+    "sessionize_stream": q_sessionize_stream,
 }
