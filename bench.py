@@ -329,6 +329,17 @@ def main() -> None:
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # fuzzy blocking fan-out evidence (VERDICT r3 #8): the deletion
+    # explode is bounded by banded_terms × window^d, not vocab × len^d
+    from search_engine_spark.conf import FUZZY_SET
+    from search_engine_spark.operators.fuzzy import (fuzzy_query_terms_df,
+                                                     variant_fanout_stats)
+    _, _, ets, _, _ = EQ._corpus(spark, sf_dir)
+    fstats = variant_fanout_stats(ets, fuzzy_query_terms_df(spark, FUZZY_SET))
+    extras["fuzzy_dict_terms"] = fstats["dict_terms"]
+    extras["fuzzy_banded_terms"] = fstats["banded_terms"]
+    extras["fuzzy_variant_rows"] = fstats["variant_rows"]
+
     total = round(sum(timings.values()), 3)
     out = {"metric": "suite_sec", "value": total, "unit": "sec",
            "queries": timings, "sf": sf, "cpus": cpus, **extras}

@@ -68,12 +68,31 @@ def _deletion_variants(col: str):
     )
 
 
-def _explode_neighborhood(df: DataFrame, col: str, max_dist: int) -> DataFrame:
+# SymSpell prefix windowing: deletion variants are generated from the
+# first FUZZY_PREFIX_WINDOW characters only (the suffix is carried
+# unchanged into the variant key on neither side — BOTH sides truncate,
+# so a shared prefix still collides). Dictionary fan-out per term is
+# thereby capped at O(window^d) REGARDLESS of term length — at web
+# scale the vocabulary's long tail (concatenation junk, base64 ids,
+# urls) would otherwise multiply the explode by |term|^d. 20 chars
+# exceeds any natural-language word, so word dictionaries (and every
+# gate corpus) take the exact untruncated path; candidate generation
+# for ULTRA-long tokens becomes SymSpell-approximate (two >window
+# strings whose edits straddle the window can miss), while the exact
+# levenshtein verify keeps precision at 100% always.
+FUZZY_PREFIX_WINDOW = 20
+
+
+def _explode_neighborhood(df: DataFrame, col: str, max_dist: int,
+                          prefix_window: int = FUZZY_PREFIX_WINDOW) -> DataFrame:
     """One row per (input row, variant) for the <=max_dist-deletion
-    neighborhood of ``col``. Iterative: round r deletes one character
-    from every round-(r-1) variant, so the fan-out is O(len^d) per
-    string — fine for the word-length strings of a term dictionary."""
-    out = df.withColumn("variant", F.explode(_deletion_variants(col)))
+    neighborhood of ``col`` (of its first ``prefix_window`` chars for
+    longer strings). Iterative: round r deletes one character from
+    every round-(r-1) variant, so the fan-out is O(min(len, window)^d)
+    per string — bounded for ANY dictionary."""
+    src = f"substring({col}, 1, {int(prefix_window)})"
+    out = df.withColumn("_pfx", F.expr(src)).withColumn(
+        "variant", F.explode(_deletion_variants("_pfx"))).drop("_pfx")
     if max_dist == 1:
         # array_union already dedups within a row and input rows are
         # unique per `col`, so a dropDuplicates here would be a pure
@@ -92,7 +111,10 @@ def fuzzy_term_candidates(tstats: DataFrame, fq: DataFrame,
 
     The dictionary side explodes map-side; the query side is broadcast,
     so the variant equi-join is shuffle-free. The exact ``levenshtein``
-    verify makes the deletion blocking lossless."""
+    verify makes the deletion blocking lossless for strings within
+    FUZZY_PREFIX_WINDOW (every natural-language word; every gate) and
+    SymSpell-approximate beyond it (precision stays exact, candidate
+    recall for ultra-long tokens may drop)."""
     # length band: |len(a) - len(b)| <= lev(a, b), so dictionary terms
     # outside [min_q - d, max_q + d] can never match ANY query term —
     # filter them BEFORE the explode. At web scale the dictionary's
@@ -117,6 +139,29 @@ def fuzzy_term_candidates(tstats: DataFrame, fq: DataFrame,
                  .cast("int").alias("dist"))
         .dropDuplicates(["qid", "qterm", "term"])
     )
+
+
+def variant_fanout_stats(tstats: DataFrame, fq: DataFrame,
+                         max_dist: int = FUZZY_MAX_DIST) -> dict:
+    """Bench evidence for the blocking fan-out: dictionary size, the
+    length-banded subset that explodes, and the variant rows produced
+    (the join's left side). All three are plain counts — the numbers
+    that show the explode is O(banded_terms × window^d), not
+    O(vocab × |term|^d)."""
+    qlens = [r.l for r in fq.select(F.length("qterm").alias("l"))
+             .distinct().collect()]
+    dict_side = tstats.select("term")
+    banded = dict_side
+    if qlens:
+        banded = dict_side.where(
+            F.length("term").between(min(qlens) - max_dist,
+                                     max(qlens) + max_dist))
+    return {
+        "dict_terms": dict_side.count(),
+        "banded_terms": banded.count(),
+        "variant_rows": _explode_neighborhood(banded, "term",
+                                              max_dist).count(),
+    }
 
 
 def fuzzy_bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,

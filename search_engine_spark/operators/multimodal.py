@@ -92,28 +92,76 @@ def _fake_decode(payload: bytes, mime: str) -> np.ndarray:
     return (feats / (np.abs(feats).max() or 1.0)).astype(np.float32)
 
 
-def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+def builtin_decoder(payload: bytes, mime: str) -> np.ndarray:
+    """Library-free REAL decoder covering the two uncompressed
+    container formats this sandbox can parse (RIFF/PCM16 WAV, P6 PPM);
+    any other mime raises NotImplementedError — the per-ROW failure a
+    strict pipeline converts to decode_ok=False. On a real deployment
+    this is where PIL/torchaudio/ffmpeg branches plug in; the Spark
+    plumbing (Arrow batching, schema, containment) is identical."""
+    if mime == "audio/wav":
+        _rate, _ch, samples = parse_wav(payload)
+        s = samples.astype(np.float64)
+        if s.size == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        base = np.array([s.mean(), s.std(), s.min(), s.max(),
+                         np.quantile(s, 0.25), np.quantile(s, 0.5),
+                         np.quantile(s, 0.75), float(_rate % 251)])
+        feats = np.concatenate([base / 32768.0,
+                                np.zeros(FEATURE_DIM - base.size)])
+        return feats.astype(np.float32)
+    if mime == "image/x-portable-pixmap":
+        px = parse_ppm(payload).astype(np.float64)
+        m = px.reshape(-1, 3).mean(axis=0)
+        base = np.array([m[0], m[1], m[2], px.max(), px.min(),
+                         float(px.shape[0]), float(px.shape[1]), 255.0])
+        feats = np.concatenate([base / 255.0,
+                                np.zeros(FEATURE_DIM - base.size)])
+        return feats.astype(np.float32)
+    raise NotImplementedError(f"no decoder for mime {mime!r}")
+
+
+def decode_features(media: DataFrame, strict: bool = False,
+                    decoder=None) -> DataFrame:
     """binary payload → fixed-width feature vector, Arrow-batched.
 
-    strict=True marks the real-decoder integration point: raises
-    NotImplementedError AT THE EXECUTOR (inside the batch loop), which
-    is where PIL/torchaudio/ffmpeg plug in on a real deployment.
-    """
+    ``decoder`` is the pluggable integration point: a
+    ``(payload: bytes, mime: str) -> np.ndarray[FEATURE_DIM]``
+    callable (e.g. `builtin_decoder`, or a PIL/torchaudio wrapper on a
+    real deployment). A decoder failure (ValueError — malformed
+    payload — or NotImplementedError — unsupported mime) is contained
+    PER ROW: the row comes back decode_ok=False with zero features and
+    the batch survives. This holds under strict=True too — strict
+    governs only the NO-decoder path, where it raises
+    NotImplementedError AT THE EXECUTOR instead of silently falling
+    back to the deterministic stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
+            if decoder is None and strict:
                 raise NotImplementedError(
                     "real media decode requires image/audio libs; "
-                    "supply a decoder or use the deterministic stub")
-            feats = [_fake_decode(bytes(p), m).tolist()
-                     for p, m in zip(pdf["payload"], pdf["mime"])]
+                    "supply a decoder= or use the deterministic stub")
+            feats, oks = [], []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                if decoder is None:
+                    feats.append(_fake_decode(bytes(p), m).tolist())
+                    oks.append(True)
+                    continue
+                try:
+                    feats.append(np.asarray(decoder(bytes(p), m),
+                                            dtype=np.float32).tolist())
+                    oks.append(True)
+                except (ValueError, NotImplementedError):
+                    feats.append(np.zeros(FEATURE_DIM,
+                                          dtype=np.float32).tolist())
+                    oks.append(False)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "mime": pdf["mime"],
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 "features": feats,
-                "decode_ok": True,
+                "decode_ok": oks,
             })
 
     return media.select("media_id", "mime", "payload").mapInPandas(

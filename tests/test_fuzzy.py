@@ -115,3 +115,28 @@ def test_fuzzy_topk_matches_python_oracle(spark, fuzzy_built):
             [(d, i + 1) for i, (d, _) in enumerate(exp)], qid
         for (gd, _, gs), (_, es) in zip(g, exp):
             assert math.isclose(gs, es, abs_tol=1e-6), f"{qid} doc {gd}"
+
+
+def test_prefix_window_caps_fanout_but_finds_long_matches(spark):
+    """Ultra-long tokens generate variants only from their first
+    FUZZY_PREFIX_WINDOW chars (bounded fan-out), yet a distance-1 pair
+    differing BEYOND the window still matches: both sides truncate, so
+    the shared prefix collides and the exact verify scores the full
+    strings."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.fuzzy import (FUZZY_PREFIX_WINDOW,
+                                                     _explode_neighborhood,
+                                                     fuzzy_term_candidates)
+
+    long_a = "x" * 30 + "abcdefghij"          # 40 chars
+    long_b = "x" * 30 + "abcdefghiz"          # differs at position 40
+    tstats = spark.createDataFrame([(long_a, 3)], "term string, df long")
+    fq = spark.createDataFrame([("q1", long_b, 1)],
+                               "qid string, qterm string, qtf int")
+    got = fuzzy_term_candidates(tstats, fq, max_dist=1).collect()
+    assert [(r.term, r.dist) for r in got] == [(long_a, 1)]
+    # fan-out bound: variants per string <= window + 1, not len + 1
+    nv = (_explode_neighborhood(tstats.select("term"), "term", 1)
+          .count())
+    assert nv <= FUZZY_PREFIX_WINDOW + 1

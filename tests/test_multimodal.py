@@ -131,3 +131,48 @@ def test_ppm_gate_pipeline_matches_python(spark):
         for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
             assert abs(getattr(r, name)
                        - round(float(d[ch::3].mean()), 6)) < 1e-9
+
+
+def test_pluggable_decoder_contains_failures_per_row(spark):
+    """The decoder= hook contract (VERDICT r3 #6): a real decoder
+    stand-in (builtin_decoder) decodes the mimes it supports, and an
+    UNSUPPORTED mime under strict=True fails per-row (decode_ok=False,
+    zero features) — the batch is never killed."""
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import (builtin_decoder,
+                                                          wav_bytes)
+
+    wav = wav_bytes(np.arange(16, dtype=np.int16), 8000)
+    rows = [(1, "audio/wav", bytearray(wav)),
+            (2, "image/png", bytearray(b"\x89PNG fake")),   # unsupported mime
+            (3, "audio/wav", bytearray(b"not riff at all"))]  # malformed payload
+    media = spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary")
+    got = {r.media_id: r for r in
+           decode_features(media, strict=True,
+                           decoder=builtin_decoder).collect()}
+    assert got[1].decode_ok and any(abs(x) > 0 for x in got[1].features)
+    assert not got[2].decode_ok and all(x == 0.0 for x in got[2].features)
+    assert not got[3].decode_ok and all(x == 0.0 for x in got[3].features)
+    assert all(len(got[i].features) == FEATURE_DIM for i in (1, 2, 3))
+    # expected WAV features come straight from the pure-Python decoder
+    exp = builtin_decoder(wav, "audio/wav")
+    assert np.allclose(got[1].features, exp, atol=1e-6)
+
+
+def test_pluggable_decoder_ppm_roundtrip(spark):
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import (builtin_decoder,
+                                                          ppm_bytes)
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    media = spark.createDataFrame(
+        [(7, "image/x-portable-pixmap", bytearray(ppm_bytes(px)))],
+        "media_id long, mime string, payload binary")
+    [row] = decode_features(media, decoder=builtin_decoder).collect()
+    assert row.decode_ok
+    assert np.allclose(row.features, builtin_decoder(ppm_bytes(px),
+                                                     "image/x-portable-pixmap"),
+                       atol=1e-6)
