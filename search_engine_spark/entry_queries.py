@@ -664,6 +664,49 @@ def q_merged_postings(spark, sf_dir):
             .select("term", "df", "doc_id", "tf"))
 
 
+# deterministic tombstone set for the deletion gates: the same
+# engine-portable md5 coin as stratified_sample (doc_id -> 60-bit int),
+# residue 3 mod 7 deletes ~1/7 of the corpus
+def _tombstones(spark, sf_dir):
+    coin = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                   16, 10).cast("long") % 7)
+    return _docs(spark, sf_dir).where(coin == 3).select("doc_id")
+
+
+_TOMB_SQL = ("SELECT doc_id FROM documents "
+             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT "
+             "% 7 = 3")
+
+
+def q_postings_compacted(spark, sf_dir):
+    """Index compaction after deletes, value-gated: the blocked index
+    minus the tombstoned docs (operators/deletes.compact_deletes)
+    flattens to the (doc_id, term, tf) relation of the SURVIVING
+    corpus — block metadata identity vs a fresh build is pinned in
+    tests/test_deletes.py."""
+    from .operators.deletes import compact_deletes
+    from .operators.index_build import explode_blocked, postings_blocked
+    docs = _docs(spark, sf_dir)
+    tc = term_counts_sql(docs)
+    n = docs.count()
+    idx = postings_blocked(tc, n, salt_buckets=8)
+    compacted = compact_deletes(idx, _tombstones(spark, sf_dir), n,
+                                salt_buckets=8)
+    return explode_blocked(compacted).select("doc_id", "term", "tf")
+
+
+def q_bm25_topk_tombstone(spark, sf_dir):
+    """Tombstoned serving (Lucene live-docs semantics): BM25 scored
+    with FULL-corpus df/dl, deleted docs suppressed before the top-k
+    window, so every returned rank is a live doc at its unfiltered
+    score."""
+    from .operators.deletes import tombstoned_bm25_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return tombstoned_bm25_topk(tc, ds, ts, q, _tombstones(spark, sf_dir),
+                                n_docs, avgdl, k=10)
+
+
 def q_bm25_topk_not(spark, sf_dir):
     """Boolean NOT retrieval: disjunctive BM25 over the positive terms
     minus every doc containing any excluded term (NOT_SET; completes
@@ -1413,6 +1456,21 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
 WITH {TOK_CTE}
 SELECT tc.term, ts.df, tc.doc_id, tc.tf
 FROM tc JOIN ts USING (term)"""
+
+    sql["postings_compacted"] = f"""
+WITH {TOK_CTE}
+SELECT doc_id, term, tf FROM tc
+WHERE doc_id NOT IN ({_TOMB_SQL})"""
+
+    sql["bm25_topk_tombstone"] = f"""
+WITH {_bm25_ctes()},
+live AS (SELECT qid, doc_id, score FROM scored
+         WHERE doc_id NOT IN ({_TOMB_SQL})),
+lr AS (SELECT qid, doc_id, score,
+              (row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id))::INT AS rank
+       FROM live)
+SELECT qid, doc_id, rank, score FROM lr WHERE rank <= 10"""
 
     sql["pack_bins"] = f"""
 WITH {TOK_CTE},
@@ -2168,4 +2226,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "positions_persisted": q_positions_persisted,
     "sessionize_stream": q_sessionize_stream,
+    "postings_compacted": q_postings_compacted,
+    "bm25_topk_tombstone": q_bm25_topk_tombstone,
 }
