@@ -573,6 +573,30 @@ def q_fuzzy_topk(spark, sf_dir):
                            max_dist=FUZZY_MAX_DIST, k=10)
 
 
+def q_suggest_terms(spark, sf_dir):
+    """Did-you-mean: the single best correction per query term —
+    argmin over (edit distance, −df, term) of the verified fuzzy
+    candidate set (exact hits suggest themselves at dist 0; terms with
+    nothing within FUZZY_MAX_DIST yield no row)."""
+    from .operators.fuzzy import fuzzy_query_terms_df, suggest_terms
+    _, _, ts, _, _ = _corpus(spark, sf_dir)
+    fq = fuzzy_query_terms_df(spark, FUZZY_SET)
+    return suggest_terms(ts, fq, max_dist=FUZZY_MAX_DIST)
+
+
+# more-like-this seed documents — present at every sf (doc_id < 500)
+MLT_SEEDS = [7, 123, 404]
+
+
+def q_more_like_this(spark, sf_dir):
+    """Top-10 most similar docs per seed by ltc TF-IDF cosine
+    (operators/mlt.py) — the reference's SMART ltc weighting applied
+    doc-to-doc; seed vectors broadcast, one (seed, doc) aggregation."""
+    from .operators.mlt import more_like_this
+    tc, _, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return more_like_this(tc, ts, MLT_SEEDS, n_docs, k=10)
+
+
 def q_lm_topk(spark, sf_dir):
     """Query-likelihood ranking with Dirichlet smoothing
     (operators/lm.py) over the standard query set."""
@@ -1328,6 +1352,46 @@ cand AS (SELECT fq.qid, fq.qterm, ts.term,
          FROM fq CROSS JOIN ts
          WHERE levenshtein(fq.qterm, ts.term) <= {FUZZY_MAX_DIST})
 SELECT qid, qterm, term, dist, df FROM cand"""
+
+    sql["suggest_terms"] = f"""
+WITH {TOK_CTE},
+fq(qid, qterm, qtf) AS (VALUES
+        {_fuzzy_values()}),
+cand AS (SELECT fq.qid, fq.qterm, ts.term,
+                levenshtein(fq.qterm, ts.term)::INT AS dist, ts.df
+         FROM fq CROSS JOIN ts
+         WHERE levenshtein(fq.qterm, ts.term) <= {FUZZY_MAX_DIST}),
+best AS (SELECT qid, qterm, term AS suggestion, dist, df,
+                row_number() OVER (PARTITION BY qid, qterm
+                                   ORDER BY dist, df DESC, term) AS rn
+         FROM cand)
+SELECT qid, qterm, suggestion, dist, df FROM best WHERE rn = 1"""
+
+    _mlt_seeds = ", ".join(f"({s}::BIGINT)" for s in MLT_SEEDS)
+    sql["more_like_this"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+wd AS (SELECT tc.doc_id, tc.term,
+              (1.0 + log10(tc.tf::DOUBLE))
+              * log10((SELECT n FROM n) / ts.df::DOUBLE) AS w
+       FROM tc JOIN ts USING (term)),
+norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM wd GROUP BY doc_id),
+seeds(seed_id) AS (VALUES {_mlt_seeds}),
+sv AS (SELECT s.seed_id, wd.term, wd.w AS sw
+       FROM wd JOIN seeds s ON wd.doc_id = s.seed_id),
+dots AS (SELECT sv.seed_id, wd.doc_id, sum(wd.w * sv.sw) AS dot
+         FROM wd JOIN sv USING (term) WHERE wd.doc_id != sv.seed_id
+         GROUP BY sv.seed_id, wd.doc_id),
+scored AS (SELECT d.seed_id, d.doc_id,
+                  round(d.dot / (nd.norm * ns.norm), 6) AS score
+           FROM dots d
+           JOIN norms nd ON nd.doc_id = d.doc_id
+           JOIN norms ns ON ns.doc_id = d.seed_id),
+r AS (SELECT seed_id, doc_id, score,
+             (row_number() OVER (PARTITION BY seed_id
+                                 ORDER BY score DESC, doc_id))::INT AS rank
+      FROM scored)
+SELECT seed_id, doc_id, rank, score FROM r WHERE rank <= 10"""
 
     sql["fuzzy_topk"] = f"""
 WITH {TOK_CTE},
@@ -2228,4 +2292,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_stream": q_sessionize_stream,
     "postings_compacted": q_postings_compacted,
     "bm25_topk_tombstone": q_bm25_topk_tombstone,
+    "suggest_terms": q_suggest_terms,
+    "more_like_this": q_more_like_this,
 }

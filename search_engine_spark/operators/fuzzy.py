@@ -164,6 +164,27 @@ def variant_fanout_stats(tstats: DataFrame, fq: DataFrame,
     }
 
 
+def suggest_terms(tstats: DataFrame, fq: DataFrame,
+                  max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
+    """Did-you-mean: the single best correction per query term —
+    the candidate minimizing (edit distance, −df, term). An exact
+    dictionary hit suggests itself at dist 0 ('no correction needed');
+    a term with nothing within ``max_dist`` yields no row.
+
+    Same bounded SymSpell blocking as fuzzy_term_candidates; the
+    argmin window partitions by (qid, qterm) over the verified
+    candidate set — rows bounded by true match counts, never the
+    dictionary."""
+    from pyspark.sql.window import Window
+    cand = fuzzy_term_candidates(tstats, fq, max_dist=max_dist)
+    w = Window.partitionBy("qid", "qterm").orderBy(
+        "dist", F.desc("df"), "term")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("qid", "qterm", F.col("term").alias("suggestion"),
+                    "dist", "df"))
+
+
 def fuzzy_bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                     fq: DataFrame, n_docs: int, avgdl: float,
                     max_dist: int = FUZZY_MAX_DIST, k: int = TOP_K_DEFAULT,

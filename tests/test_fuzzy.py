@@ -140,3 +140,28 @@ def test_prefix_window_caps_fanout_but_finds_long_matches(spark):
     nv = (_explode_neighborhood(tstats.select("term"), "term", 1)
           .count())
     assert nv <= FUZZY_PREFIX_WINDOW + 1
+
+
+def test_suggest_terms_argmin_and_ties(spark):
+    """Best correction = argmin (dist, -df, term); exact hits suggest
+    themselves at dist 0; OOV-beyond-distance terms yield no row; df
+    breaks distance ties, term breaks df ties."""
+    from search_engine_spark.operators.fuzzy import suggest_terms
+
+    tstats = spark.createDataFrame(
+        [("spark", 100), ("spars", 40), ("sparo", 40),
+         ("join", 7), ("junk", 1)],
+        "term string, df long")
+    fq = spark.createDataFrame(
+        [("q1", "spark", 1),   # exact -> itself, dist 0
+         ("q1", "sparq", 1),   # dist-1 ties spark(100)/spars/sparo -> spark
+         ("q2", "sparj", 1),   # dist-1 ties spars(40)/sparo(40) + spark(100)
+         ("q2", "zzzzzzzz", 1)],  # nothing within distance
+        "qid string, qterm string, qtf int")
+    got = {(r.qid, r.qterm): (r.suggestion, r.dist, r.df)
+           for r in suggest_terms(tstats, fq, max_dist=1).collect()}
+    assert got[("q1", "spark")] == ("spark", 0, 100)
+    assert got[("q1", "sparq")] == ("spark", 1, 100)
+    assert got[("q2", "sparj")] == ("spark", 1, 100)
+    assert ("q2", "zzzzzzzz") not in got
+    assert len(got) == 3
