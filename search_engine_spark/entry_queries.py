@@ -502,6 +502,15 @@ def q_positions_persisted(spark, sf_dir):
         "term", "doc_id", F.explode("positions").alias("pos"))
 
 
+def q_doc_map_persisted(spark, sf_dir):
+    """The committed doc_map stage (P5 expand-back table) served from
+    the checkpointed build — the build synthesizes (conv_id, turn_idx)
+    = (doc_id as string, 0) for the pre-minted documents corpus, so
+    the oracle re-derives every row from `documents` alone."""
+    return _persisted_index(spark, sf_dir).doc_map.select(
+        "doc_id", "conv_id", "turn_idx")
+
+
 def q_phrase_match(spark, sf_dir):
     """Exact-phrase boolean retrieval: top-20 docs per phrase by
     occurrence count (overlaps counted; repeated-term phrases exercise
@@ -1271,6 +1280,10 @@ FROM tc"""
     sql["positions_persisted"] = (
         f"WITH {POSITIONS_CTE} SELECT term, doc_id, pos FROM tokp "
         f"WHERE term IN ({_ph_vocab})")
+
+    sql["doc_map_persisted"] = (
+        "SELECT doc_id, doc_id::VARCHAR AS conv_id, 0::INT AS turn_idx "
+        "FROM documents")
 
     sql["phrase_match"] = f"""
 WITH {POSITIONS_CTE},
@@ -2294,4 +2307,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_tombstone": q_bm25_topk_tombstone,
     "suggest_terms": q_suggest_terms,
     "more_like_this": q_more_like_this,
+    "doc_map_persisted": q_doc_map_persisted,
 }
