@@ -1138,7 +1138,10 @@ def q_sessionize_stream(spark, sf_dir):
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
-    qn = "sess_closed_gate"
+    # sink name unique per sf_dir: a second corpus in the same session
+    # must not replace the memory table a cached result reads from
+    import hashlib as _hl
+    qn = "sess_closed_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
     q = (sessionize_stream(stream, gap_minutes=30)
          .writeStream.format("memory").queryName(qn)
          .outputMode("append").trigger(availableNow=True)
