@@ -511,6 +511,67 @@ def q_doc_map_persisted(spark, sf_dir):
         "doc_id", "conv_id", "turn_idx")
 
 
+def q_term_stats_persisted(spark, sf_dir):
+    """The committed term_stats stage served from the checkpointed
+    build — same oracle as the live `term_stats` gate."""
+    return _persisted_index(spark, sf_dir).term_stats.select(
+        "term", "df", "cf")
+
+
+def q_doc_stats_persisted(spark, sf_dir):
+    """The committed doc_stats stage served from the checkpointed
+    build — same oracle as the live `doc_stats` gate."""
+    return _persisted_index(spark, sf_dir).doc_stats.select(
+        "doc_id", "dl", F.round("len_l2", 6).alias("len_l2"),
+        "uniq", "max_tf", F.round("ave_tf", 6).alias("ave_tf"))
+
+
+def q_postings_streamed(spark, sf_dir):
+    """STREAMING ingest value gate: the documents corpus (mapped to the
+    transcripts shape) replayed as 3 parquet micro-batches through
+    IncrementalIndexer (foreachBatch delta-append), then compacted via
+    the SAME blocked builder the batch path uses — the flattened
+    (term, df, doc_id, tf) relation must equal what the oracle computes
+    directly. Driver-gates the pytest-only incremental≡batch
+    invariant."""
+    import tempfile
+
+    from .operators.index_build import explode_blocked
+    from .streaming.index_stream import IncrementalIndexer, stream_transcripts
+    key = (spark.sparkContext.applicationId, sf_dir, "postings_streamed")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    t = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "doc_id")
+    root = tempfile.mkdtemp(prefix="segspark_stream_idx_")
+    third = n // 3
+    cuts = [(0, third), (third, 2 * third), (2 * third, n)]
+    for i, (lo, hi) in enumerate(cuts):
+        (t.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}"))
+    stream = stream_transcripts(spark, f"{root}/chunk*",
+                                max_files_per_trigger=1)
+    ix = IncrementalIndexer(f"{root}/idx", salt_buckets=8)
+    q = ix.attach(stream, f"{root}/_ckpt", available_now=True)
+    q.awaitTermination(300)
+    idx = ix.compact(spark, n)["index"]
+    df_side = idx.select("term", "df").distinct()
+    res = (explode_blocked(idx)
+           .join(df_side, "term")
+           .select("term", "df", "doc_id", "tf"))
+    _CORPUS_CACHE[key] = res
+    return res
+
+
 def q_phrase_match(spark, sf_dir):
     """Exact-phrase boolean retrieval: top-20 docs per phrase by
     occurrence count (overlaps counted; repeated-term phrases exercise
@@ -1287,6 +1348,14 @@ FROM tc"""
     sql["doc_map_persisted"] = (
         "SELECT doc_id, doc_id::VARCHAR AS conv_id, 0::INT AS turn_idx "
         "FROM documents")
+
+    sql["term_stats_persisted"] = sql["term_stats"]
+    sql["doc_stats_persisted"] = sql["doc_stats"]
+
+    sql["postings_streamed"] = f"""
+WITH {TOK_CTE}
+SELECT tc.term, ts.df, tc.doc_id, tc.tf
+FROM tc JOIN ts USING (term)"""
 
     sql["phrase_match"] = f"""
 WITH {POSITIONS_CTE},
@@ -2311,4 +2380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suggest_terms": q_suggest_terms,
     "more_like_this": q_more_like_this,
     "doc_map_persisted": q_doc_map_persisted,
+    "term_stats_persisted": q_term_stats_persisted,
+    "doc_stats_persisted": q_doc_stats_persisted,
+    "postings_streamed": q_postings_streamed,
 }
