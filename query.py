@@ -32,14 +32,18 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode",
                     choices=("auto", "taat", "wand", "maxscore", "phrase",
-                             "near", "lm", "prefix"),
+                             "near", "lm", "prefix", "fuzzy", "suggest",
+                             "mlt"),
                     default="wand",
                     help="auto = cost-based pick (MaxScore for shallow k, "
                          "exhaustive for deep k); phrase/near need an index "
                          "built with --positional; phrase treats each title "
                          "as an exact phrase, near as a NEAR/W term bag; "
                          "lm = query-likelihood (Dirichlet) ranking; prefix "
-                         "treats each title token as a trailing wildcard")
+                         "treats each title token as a trailing wildcard; "
+                         "fuzzy = decay-weighted edit-distance expansion; "
+                         "suggest = did-you-mean per query term; mlt = "
+                         "more-like-this (each title token is a seed doc_id)")
     ap.add_argument("--near-window", type=int, default=None,
                     help="NEAR window in tokens (default conf.NEAR_WINDOW)")
     ap.add_argument("--trec-out", help="write TREC run lines here")
@@ -108,6 +112,32 @@ def main() -> None:
         pq = prefix_query_df(spark, queries)
         res = prefix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, pq,
                           ix.n_docs, ix.avgdl, k=args.k)
+    elif args.mode == "fuzzy":
+        from search_engine_spark.operators.fuzzy import (fuzzy_bm25_topk,
+                                                         fuzzy_query_terms_df)
+        fq = fuzzy_query_terms_df(spark, queries)
+        res = fuzzy_bm25_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
+                              fq, ix.n_docs, ix.avgdl, k=args.k)
+    elif args.mode == "suggest":
+        from search_engine_spark.operators.fuzzy import (fuzzy_query_terms_df,
+                                                         suggest_terms)
+        fq = fuzzy_query_terms_df(spark, queries)
+        rows = (suggest_terms(ix.term_stats, fq)
+                .orderBy("qid", "qterm").collect())
+        for r in rows:
+            print(f"{r.qid}\t{r.qterm}\t{r.suggestion}\t{r.dist}\t{r.df}")
+        spark.stop()
+        return
+    elif args.mode == "mlt":
+        from search_engine_spark.operators.mlt import more_like_this
+        seeds = [int(tok) for _, title in queries for tok in title.split()]
+        rows = (more_like_this(ix.term_counts, ix.term_stats, seeds,
+                               ix.n_docs, k=args.k)
+                .orderBy("seed_id", "rank").collect())
+        for r in rows:
+            print(f"{r.seed_id}\t{r.doc_id}\t{r.rank}\t{r.score}")
+        spark.stop()
+        return
     elif args.mode == "auto" and ix.inline_dl:
         from search_engine_spark.operators.wand import topk_auto
         res = topk_auto(blocked, qterms, ix.n_docs, ix.avgdl, k=args.k,

@@ -58,3 +58,25 @@ def test_cli_prefix_mode(built_index):
     assert 1 <= len(rows) <= 5
     assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
     assert all(float(r[3]) > 0 for r in rows)
+
+
+def test_cli_suggest_mode(built_index):
+    """--mode suggest prints (qid, qterm, suggestion, dist, df) rows;
+    an exact vocabulary hit suggests itself at dist 0."""
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "suggest", "--query", "se"])
+    rows = [ln.split("\t") for ln in got.strip().splitlines() if "\t" in ln]
+    assert rows, got
+    by_term = {r[1]: r for r in rows}
+    assert by_term["se"][2] == "se" and int(by_term["se"][3]) == 0
+
+
+def test_cli_mlt_mode(built_index):
+    """--mode mlt treats title tokens as seed doc_ids and prints
+    (seed_id, doc_id, rank, score) with dense ranks."""
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "mlt", "--query", "0", "--k", "3"])
+    rows = [ln.split("\t") for ln in got.strip().splitlines() if "\t" in ln]
+    assert 1 <= len(rows) <= 3
+    assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r[1] != "0" for r in rows)  # seed excluded
