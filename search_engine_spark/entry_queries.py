@@ -86,6 +86,13 @@ def _qterms_values() -> str:
     return ",\n        ".join(rows)
 
 
+def _syn_values() -> str:
+    """(term, synonym) VALUES rows mirroring synonyms_df(symmetric=True)."""
+    pairs = sorted(set([(t, s) for t, s in SYNONYM_PAIRS]
+                       + [(s, t) for t, s in SYNONYM_PAIRS]))
+    return ",\n        ".join(f"('{t}', '{s}')" for t, s in pairs)
+
+
 def _not_pos_values() -> str:
     """(qid, term, qtf) VALUES rows for NOT_SET's positive titles."""
     rows = []
@@ -1079,6 +1086,61 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_at_k(results, _qrels(spark, sf_dir), k=10)
 
 
+def q_mrr_eval(spark, sf_dir):
+    """Reciprocal rank of the first relevant doc per query (MRR
+    component; functions/evaluation.py reciprocal_rank — trec_eval's
+    recip_rank next to the MAP/P@k/nDCG family)."""
+    from .functions.evaluation import reciprocal_rank
+    results = q_bm25_topk(spark, sf_dir)
+    return reciprocal_rank(results, _qrels(spark, sf_dir), depth=10)
+
+
+def q_recall_eval(spark, sf_dir):
+    """Recall@10 per query (functions/evaluation.py recall_at_k)."""
+    from .functions.evaluation import recall_at_k
+    results = q_bm25_topk(spark, sf_dir)
+    return recall_at_k(results, _qrels(spark, sf_dir), k=10)
+
+
+# Deterministic thesaurus over the documents vocabulary (both
+# directions; operators/synonyms.py mirrors the pairs).
+SYNONYM_PAIRS: list[tuple[str, str]] = [
+    ("spark", "batch"), ("join", "agg"), ("fast", "slow"), ("table", "row"),
+]
+
+
+def q_synonym_topk(spark, sf_dir):
+    """BM25 over the synonym-expanded query (operators/synonyms.py):
+    each query term also matches its thesaurus neighbors at half
+    weight; the scorer is unchanged — only (qid, term, qtf) grows."""
+    from .operators.synonyms import expand_query_terms, synonyms_df
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = expand_query_terms(query_terms_df(spark, QUERY_SET),
+                           synonyms_df(spark, SYNONYM_PAIRS), weight=0.5)
+    return bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+
+
+def q_facet_counts(spark, sf_dir):
+    """Top-5 source facets per query over the disjunctive candidate
+    set (operators/facets.py facet_counts)."""
+    from .operators.facets import facet_counts
+    tc, _ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return facet_counts(tc, q, _docs(spark, sf_dir), "source", k=5)
+
+
+def q_collapse_topk(spark, sf_dir):
+    """Field-collapsed BM25 top-10: at most one hit per source per
+    query (operators/facets.py collapse_topk over the pre-top-k
+    bm25_scores relation)."""
+    from .operators.facets import collapse_topk
+    from .operators.query import bm25_scores
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return collapse_topk(bm25_scores(tc, ds, ts, q, n_docs, avgdl),
+                         _docs(spark, sf_dir), "source", k=10)
+
+
 MAP_SWEEP_SCHEMES = ["nnc.nnn", "lnc.ltc", "btn.ltc", "ltu.nnn"]
 MAP_SWEEP_DEPTHS = [10, 100]
 
@@ -1947,6 +2009,95 @@ phits AS (SELECT r.qid, count(*)::BIGINT AS h
 SELECT q2.qid, round(coalesce(phits.h, 0) / 10.0, 6) AS p_at_k
 FROM (SELECT DISTINCT qid FROM qrels) q2 LEFT JOIN phits USING (qid)"""
 
+    sql["mrr_eval"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+fr AS (SELECT r.qid, min(r.rank) AS fr
+       FROM runq r JOIN qrels USING (qid, doc_id) GROUP BY 1)
+SELECT q2.qid,
+       round(CASE WHEN fr.fr IS NULL THEN 0.0 ELSE 1.0 / fr.fr END, 6) AS rr,
+       coalesce(fr.fr, 0)::BIGINT AS first_rel_rank
+FROM (SELECT DISTINCT qid FROM qrels) q2 LEFT JOIN fr USING (qid)"""
+
+    sql["recall_eval"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1),
+rhits AS (SELECT r.qid, count(*)::BIGINT AS n_ret_rel
+          FROM runq r JOIN qrels USING (qid, doc_id) GROUP BY 1)
+SELECT nrel.qid,
+       round(coalesce(rhits.n_ret_rel, 0) / nrel.n_rel::DOUBLE, 6) AS recall,
+       nrel.n_rel, coalesce(rhits.n_ret_rel, 0)::BIGINT AS n_ret_rel
+FROM nrel LEFT JOIN rhits USING (qid)"""
+
+    sql["synonym_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q0(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+syn(term, synonym) AS (VALUES
+        {_syn_values()}),
+q AS (
+  SELECT qid, term, sum(qtf) AS qtf FROM (
+    SELECT qid, term, qtf::DOUBLE AS qtf FROM q0
+    UNION ALL
+    SELECT q0.qid, syn.synonym AS term, q0.qtf::DOUBLE * 0.5 AS qtf
+    FROM q0 JOIN syn USING (term)
+  ) GROUP BY 1, 2
+),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["facet_counts"] = f"""
+WITH {TOK_CTE},
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+matches AS (SELECT DISTINCT q.qid, tc.doc_id FROM q JOIN tc USING (term)),
+fac AS (SELECT m.qid, d.source AS facet, count(*)::BIGINT AS n_docs
+        FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2),
+rankedf AS (SELECT qid, facet, n_docs,
+                   (row_number() OVER (PARTITION BY qid
+                                       ORDER BY n_docs DESC, facet))::INT AS rank
+            FROM fac)
+SELECT qid, facet, n_docs, rank FROM rankedf WHERE rank <= 5"""
+
+    sql["collapse_topk"] = f"""
+WITH {_bm25_ctes()},
+g AS (SELECT s.qid, s.doc_id, s.score, d.source AS "group"
+      FROM scored s JOIN documents d USING (doc_id)),
+best AS (SELECT qid, doc_id, score, "group",
+                row_number() OVER (PARTITION BY qid, "group"
+                                   ORDER BY score DESC, doc_id) AS gr
+         FROM g),
+rankedc AS (SELECT qid, doc_id, "group", score,
+                   (row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, doc_id))::INT AS rank
+            FROM best WHERE gr = 1)
+SELECT qid, doc_id, "group", rank, score FROM rankedc WHERE rank <= 10"""
+
     combos = "\nUNION ALL\n".join(
         _map_sweep_combo_sql(s, k)
         for s in MAP_SWEEP_SCHEMES for k in MAP_SWEEP_DEPTHS)
@@ -2383,4 +2534,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats_persisted": q_term_stats_persisted,
     "doc_stats_persisted": q_doc_stats_persisted,
     "postings_streamed": q_postings_streamed,
+    "mrr_eval": q_mrr_eval,
+    "recall_eval": q_recall_eval,
+    "synonym_topk": q_synonym_topk,
+    "facet_counts": q_facet_counts,
+    "collapse_topk": q_collapse_topk,
 }

@@ -96,3 +96,43 @@ def precision_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     return (qids.join(hits, "qid", "left")
             .select("qid", F.round(F.coalesce(F.col("_hits"), F.lit(0))
                                    / F.lit(float(k)), 6).alias("p_at_k")))
+
+
+def reciprocal_rank(results: DataFrame, qrels: DataFrame,
+                    depth: int = 1000) -> DataFrame:
+    """(qid, rr, first_rel_rank) — reciprocal rank of the FIRST
+    judged-relevant doc within `depth`; rr = 0 (rank 0) when none is
+    retrieved. Mean over judged queries is trec_eval's `recip_rank`
+    (MRR). Judged-query universe and tie order follow per_query_ap.
+
+    Shape: one semi-join (run ⨝ qrels on (qid, doc_id)) then a
+    per-qid min — map-side partial, no window needed."""
+    r = results.where(F.col("rank") <= depth)
+    first = (r.join(qrels, ["qid", "doc_id"], "leftsemi")
+             .groupBy("qid").agg(F.min("rank").alias("_fr")))
+    qids = qrels.select("qid").distinct()
+    return (qids.join(first, "qid", "left")
+            .select("qid",
+                    F.round(F.when(F.col("_fr").isNull(), F.lit(0.0))
+                             .otherwise(F.lit(1.0) / F.col("_fr")), 6)
+                     .alias("rr"),
+                    F.coalesce("_fr", F.lit(0)).cast("long")
+                     .alias("first_rel_rank")))
+
+
+def recall_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """(qid, recall, n_rel, n_ret_rel) — fraction of each query's
+    judged-relevant docs retrieved in the top k. Complements
+    precision_at_k; same judged-query universe (queries with ≥1
+    relevant doc)."""
+    r = results.where(F.col("rank") <= k)
+    hits = (r.join(qrels, ["qid", "doc_id"], "leftsemi")
+            .groupBy("qid").agg(F.count("*").cast("long").alias("n_ret_rel")))
+    n_rel = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("n_rel"))
+    return (n_rel.join(hits, "qid", "left")
+            .select("qid",
+                    F.round(F.coalesce(F.col("n_ret_rel"), F.lit(0))
+                            / F.col("n_rel").cast("double"), 6).alias("recall"),
+                    "n_rel",
+                    F.coalesce("n_ret_rel", F.lit(0)).cast("long")
+                     .alias("n_ret_rel")))

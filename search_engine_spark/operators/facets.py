@@ -1,0 +1,83 @@
+"""Faceted search: per-query metadata histograms, and field-collapsed
+(diversified) top-k.
+
+Production fulltext engines return facet counts next to the ranked
+hits (how many matching docs per source / language / …) and can
+"collapse" results so at most one hit per group value reaches the
+page. The reference engine has neither (its output is the bare TREC
+run, /root/reference/src/invertedIndex.py:858-878); both are pure
+relational post-passes over relations this engine already builds, so
+they compose with every scorer.
+
+Scale shape:
+- facet_counts: the candidate set is (query terms) ⨝ postings — the
+  same broadcast-semi-join as retrieval — then ONE distinct (docs
+  matching several terms count once) and ONE map-side-partial count
+  per (qid, facet). Facet cardinality is metadata-sized, so the final
+  agg output is tiny regardless of corpus size.
+- collapse_topk: a per-(qid, group) row_number keeps the best hit per
+  group, then the usual per-qid top-k. Both windows are
+  WindowGroupLimit-able (rank ≤ const) so Spark pushes the limit into
+  the shuffle — no full sort of the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..conf import TOP_K_DEFAULT
+
+
+def facet_counts(tc: DataFrame, qterms: DataFrame, doc_meta: DataFrame,
+                 facet_col: str, k: int | None = None) -> DataFrame:
+    """(qid, facet, n_docs, rank) — matching-doc count per facet value
+    for each query, facets ranked by count desc (ties: facet asc).
+
+    `tc`: (doc_id, term, ...) postings; `qterms`: (qid, term, ...);
+    `doc_meta`: (doc_id, <facet_col>, ...). A doc matches a query iff
+    it contains ≥1 query term (disjunctive candidate set — the same
+    universe BM25 scores). `k` keeps only the top-k facets per query.
+    """
+    matches = (tc.join(F.broadcast(qterms.select("qid", "term").distinct()),
+                       "term", "inner")
+               .select("qid", "doc_id").distinct())
+    fac = (matches.join(doc_meta.select("doc_id",
+                                        F.col(facet_col).alias("facet")),
+                        "doc_id", "inner")
+           .groupBy("qid", "facet")
+           .agg(F.count("*").cast("long").alias("n_docs")))
+    w = Window.partitionBy("qid").orderBy(F.col("n_docs").desc(),
+                                          F.col("facet").asc())
+    out = fac.withColumn("rank", F.row_number().over(w).cast("int"))
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select("qid", "facet", "n_docs", "rank")
+
+
+def collapse_topk(scored: DataFrame, doc_meta: DataFrame, group_col: str,
+                  k: int = TOP_K_DEFAULT) -> DataFrame:
+    """(qid, doc_id, group, rank, score) — top-k with at most ONE doc
+    per `group_col` value per query (field collapsing / diversity).
+
+    `scored`: (qid, doc_id, score) from any scorer, pre-top-k;
+    `doc_meta`: (doc_id, <group_col>, ...). Within a group the best
+    (score desc, doc_id asc) hit survives; survivors re-rank by the
+    same order. Scores round to SCORE_DECIMALS BEFORE ordering — the
+    same pin operators/query.py _topk applies — so ties resolve
+    identically to the un-collapsed ranking. Both windows carry a
+    rank ≤ const predicate so the WindowGroupLimit pushdown bounds
+    per-partition state."""
+    from .query import SCORE_DECIMALS
+    g = (scored.withColumn("score", F.round("score", SCORE_DECIMALS))
+         .join(doc_meta.select("doc_id", F.col(group_col).alias("group")),
+               "doc_id", "inner"))
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    w_in = Window.partitionBy("qid", "group").orderBy(*order)
+    best = (g.withColumn("_gr", F.row_number().over(w_in))
+            .where(F.col("_gr") == 1).drop("_gr"))
+    w_out = Window.partitionBy("qid").orderBy(*order)
+    return (best.withColumn("rank", F.row_number().over(w_out).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("qid", "doc_id", "group", "rank", "score"))

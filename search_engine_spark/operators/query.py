@@ -65,10 +65,13 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
-              qterms: DataFrame, n_docs: int, avgdl: float,
-              k: int = TOP_K_DEFAULT, k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
-    """Top-k BM25 from the (doc_id, term, tf) relation.
+def bm25_scores(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                qterms: DataFrame, n_docs: int, avgdl: float,
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """(qid, doc_id, score) — the full (unrounded, un-ranked) BM25
+    candidate relation. bm25_topk is _topk over this; post-passes that
+    need the pre-top-k universe (facet collapse, fusion, re-ranking)
+    consume it directly.
 
     Join order (by size): tc (huge) ⨝ broadcast(qterms) — the semi-join
     prunes the scan to query terms only — ⨝ broadcast(term dict for
@@ -81,12 +84,20 @@ def bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
     sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
     partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
-    scored = (
+    return (
         hits.select("qid", "doc_id", partial.alias("partial"))
         .groupBy("qid", "doc_id")
         .agg(F.sum("partial").alias("score"))
     )
-    return _topk(scored, k)
+
+
+def bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+              qterms: DataFrame, n_docs: int, avgdl: float,
+              k: int = TOP_K_DEFAULT, k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Top-k BM25 from the (doc_id, term, tf) relation (see
+    bm25_scores for the plan shape)."""
+    return _topk(bm25_scores(tc, ds, tstats, qterms, n_docs, avgdl,
+                             k1=k1, b=b), k)
 
 
 def bm25_topk_from_index(index: DataFrame, ds: DataFrame | None, qterms: DataFrame,

@@ -75,3 +75,30 @@ def test_ndcg_at_k_golden(spark, run_and_qrels):
     assert got["q1"].n_rel == 3
     assert got["q2"].ndcg == 0.0
     assert got["q3"].ndcg == 0.0 and got["q3"].n_rel == 1
+
+
+def test_reciprocal_rank_golden(spark, run_and_qrels):
+    from search_engine_spark.functions.evaluation import reciprocal_rank
+    results, qrels = run_and_qrels
+    got = {r.qid: r for r in reciprocal_rank(results, qrels).collect()}
+    # q1: first relevant at rank 1 → rr 1.0; q2/q3: none → rr 0, rank 0
+    assert got["q1"].rr == 1.0 and got["q1"].first_rel_rank == 1
+    assert got["q2"].rr == 0.0 and got["q2"].first_rel_rank == 0
+    assert got["q3"].rr == 0.0
+    # depth cut excludes q1's rank-1 hit when depth=0 semantics via depth=2
+    shallow = {r.qid: r for r in
+               reciprocal_rank(results.where("doc_id != 10"), qrels,
+                               depth=2).collect()}
+    assert shallow["q1"].rr == 0.0  # next relevant (30) is at rank 3 > depth
+
+
+def test_recall_at_k_golden(spark, run_and_qrels):
+    from search_engine_spark.functions.evaluation import recall_at_k
+    results, qrels = run_and_qrels
+    got = {r.qid: r for r in recall_at_k(results, qrels, k=5).collect()}
+    assert got["q1"].recall == pytest.approx(2 / 3, abs=1e-6)
+    assert got["q1"].n_rel == 3 and got["q1"].n_ret_rel == 2
+    assert got["q2"].recall == 0.0 and got["q3"].recall == 0.0
+    # k=1 keeps only the rank-1 hit
+    top1 = {r.qid: r for r in recall_at_k(results, qrels, k=1).collect()}
+    assert top1["q1"].recall == pytest.approx(1 / 3, abs=1e-6)
