@@ -1141,6 +1141,39 @@ def q_collapse_topk(spark, sf_dir):
                          _docs(spark, sf_dir), "source", k=10)
 
 
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F top-10 over the positional title/body field split
+    (operators/fields.py — per-field weights 2.0/1.0, per-field
+    length normalization, one shared saturation)."""
+    from .operators.fields import (bm25f_topk, field_doc_stats,
+                                   field_term_counts)
+    _tc, _ds, _ts, n_docs, _a = _corpus(spark, sf_dir)
+    tcf = field_term_counts(_docs(spark, sf_dir))
+    dsf = field_doc_stats(tcf)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25f_topk(tcf, dsf, q, n_docs, k=10)
+
+
+def q_quantized_topk(spark, sf_dir):
+    """Top-10 served from the 8-bit impact-quantized index
+    (operators/impact.py — integer-sum scoring, bit-deterministic
+    across any partitioning)."""
+    from .operators.impact import (impact_postings, quantize_impacts,
+                                   quantized_topk)
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    qp, _m = quantize_impacts(impact_postings(tc, ds, ts, n_docs, avgdl))
+    q = query_terms_df(spark, QUERY_SET)
+    return quantized_topk(qp, q, k=10)
+
+
+def q_hit_counts(spark, sf_dir):
+    """Disjunctive/conjunctive matching-doc counts per query — the
+    result-count header (operators/query.py hit_counts)."""
+    from .operators.query import hit_counts
+    tc, _ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    return hit_counts(tc, query_terms_df(spark, QUERY_SET))
+
+
 MAP_SWEEP_SCHEMES = ["nnc.nnn", "lnc.ltc", "btn.ltc", "ltu.nnn"]
 MAP_SWEEP_DEPTHS = [10, 100]
 
@@ -2098,6 +2131,78 @@ rankedc AS (SELECT qid, doc_id, "group", score,
             FROM best WHERE gr = 1)
 SELECT qid, doc_id, "group", rank, score FROM rankedc WHERE rank <= 10"""
 
+    sql["bm25f_topk"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, unnest(l[1:8]) AS term FROM tokl
+  UNION ALL
+  SELECT doc_id, 'body' AS field, unnest(l[9:]) AS term FROM tokl WHERE len(l) > 8
+),
+tcf AS (SELECT doc_id, field, term, count(*)::INT AS tf FROM ftok GROUP BY 1, 2, 3),
+dsf AS (SELECT doc_id, field, sum(tf)::BIGINT AS dl FROM tcf GROUP BY 1, 2),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adlf AS (SELECT field, sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl
+         FROM dsf GROUP BY 1),
+tsf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tcf GROUP BY 1),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+w AS (
+  SELECT q.qid, tcf.doc_id, q.term, max(q.qtf) AS qtf, max(tsf.df) AS df,
+         sum((CASE tcf.field WHEN 'title' THEN 2.0 ELSE 1.0 END) * tcf.tf::DOUBLE
+             / (0.25 + 0.75 * dsf.dl::DOUBLE / adlf.avgdl)) AS tfw
+  FROM q JOIN tcf USING (term) JOIN tsf USING (term)
+       JOIN dsf ON dsf.doc_id = tcf.doc_id AND dsf.field = tcf.field
+       JOIN adlf ON adlf.field = tcf.field
+  GROUP BY 1, 2, 3
+),
+scored AS (SELECT qid, doc_id,
+                  round(sum(qtf * ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5))
+                            * tfw / ({BM25_K1} + tfw)), 6) AS score
+           FROM w GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["quantized_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+imps AS (
+  SELECT tc.term, tc.doc_id,
+         ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+           * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+             / (tc.tf::DOUBLE + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds.dl::DOUBLE / (SELECT avgdl FROM adl)))
+         AS imp
+  FROM tc JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+m AS (SELECT max(imp) AS m FROM imps),
+qpost AS (SELECT term, doc_id,
+                 floor(imp / (SELECT m FROM m) * 255.0)::INT AS bucket
+          FROM imps),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+scored AS (SELECT q.qid, qpost.doc_id,
+                  sum(q.qtf::BIGINT * qpost.bucket)::BIGINT AS score
+           FROM q JOIN qpost USING (term) GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["hit_counts"] = f"""
+WITH {TOK_CTE},
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qn AS (SELECT qid, count(DISTINCT term)::BIGINT AS nq FROM q GROUP BY 1),
+m AS (SELECT q.qid, tc.doc_id, count(DISTINCT q.term)::BIGINT AS nt
+      FROM q JOIN tc USING (term) GROUP BY 1, 2)
+SELECT m.qid, count(*)::BIGINT AS n_any,
+       sum(CASE WHEN m.nt = qn.nq THEN 1 ELSE 0 END)::BIGINT AS n_all
+FROM m JOIN qn USING (qid) GROUP BY 1"""
+
     combos = "\nUNION ALL\n".join(
         _map_sweep_combo_sql(s, k)
         for s in MAP_SWEEP_SCHEMES for k in MAP_SWEEP_DEPTHS)
@@ -2539,4 +2644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synonym_topk": q_synonym_topk,
     "facet_counts": q_facet_counts,
     "collapse_topk": q_collapse_topk,
+    "bm25f_topk": q_bm25f_topk,
+    "quantized_topk": q_quantized_topk,
+    "hit_counts": q_hit_counts,
 }

@@ -400,3 +400,24 @@ def trec_export(results: DataFrame, run_id: str = RUN_ID_DEFAULT) -> DataFrame:
                     F.col("rank").cast("string"),
                     F.format_string("%.6f", F.col("score").cast("double")),
                     F.lit(run_id)).alias("line"))
+
+
+def hit_counts(tc: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(qid, n_any, n_all) — matching-document counts per query:
+    n_any = docs containing ≥1 query term (disjunctive / OR universe),
+    n_all = docs containing EVERY query term (conjunctive / AND).
+
+    The count header a search UI shows next to the top-k. Shape: the
+    same broadcast term semi-join as retrieval, one (qid, doc)
+    aggregation (tc is unique per (doc, term), so count(*) = distinct
+    query terms matched), one tiny per-qid rollup. Queries matching
+    nothing produce no row (same convention as the scorers)."""
+    qt = qterms.select("qid", "term").distinct()
+    nq = qt.groupBy("qid").agg(F.count("*").alias("_nq"))
+    m = (tc.join(F.broadcast(qt), "term", "inner")
+         .groupBy("qid", "doc_id").agg(F.count("*").alias("_nt")))
+    return (m.join(F.broadcast(nq), "qid", "inner")
+            .groupBy("qid")
+            .agg(F.count("*").cast("long").alias("n_any"),
+                 F.sum(F.when(F.col("_nt") == F.col("_nq"), 1)
+                       .otherwise(0)).cast("long").alias("n_all")))
