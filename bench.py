@@ -323,7 +323,9 @@ def main() -> None:
              "lm_topk", "prefix_topk", "rrf_topk", "stratified_sample",
              "dedup_exact", "lsh_candidates", "simhash",
              "embedding_topk", "embedding_lsh_topk",
-             "text_quality", "token_counts", "sessionize"]
+             "text_quality", "token_counts", "sessionize",
+             "bm25f_topk", "quantized_topk", "facet_counts",
+             "collapse_topk", "synonym_topk"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -93,6 +93,16 @@ def _syn_values() -> str:
     return ",\n        ".join(f"('{t}', '{s}')" for t, s in pairs)
 
 
+def _bigram_values() -> str:
+    """(qid, bigram) VALUES rows mirroring phrase_bigrams_df."""
+    rows = []
+    for qid, phrase in PHRASE_SET:
+        t = tokenize_py(phrase)
+        for bg in sorted({f"{a} {b}" for a, b in zip(t, t[1:])}):
+            rows.append(f"('{qid}', '{bg}')")
+    return ",\n        ".join(rows)
+
+
 def _not_pos_values() -> str:
     """(qid, term, qtf) VALUES rows for NOT_SET's positive titles."""
     rows = []
@@ -1174,6 +1184,40 @@ def q_hit_counts(spark, sf_dir):
     return hit_counts(tc, query_terms_df(spark, QUERY_SET))
 
 
+def q_bigram_phrase(spark, sf_dir):
+    """Phrase containment served from the bigram (word-pair) index —
+    exact for 2-term phrases, candidate superset for longer ones
+    (operators/bigrams.py; the nextword-index acceleration)."""
+    from .operators.bigrams import (bigram_counts, phrase_bigrams_df,
+                                    phrase_match_by_bigrams)
+    bc = bigram_counts(_docs(spark, sf_dir))
+    return phrase_match_by_bigrams(bc, phrase_bigrams_df(spark, PHRASE_SET))
+
+
+def q_boosted_topk(spark, sf_dir):
+    """BM25 + static length prior: score + ln(1 + n_chars)
+    (operators/boosts.py prior_boosted_topk — function-score
+    combination over the pre-top-k candidate relation)."""
+    from .operators.boosts import prior_boosted_topk
+    from .operators.query import bm25_scores
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    priors = _docs(spark, sf_dir).select("doc_id",
+                                         F.col("n_chars").alias("prior"))
+    return prior_boosted_topk(bm25_scores(tc, ds, ts, q, n_docs, avgdl),
+                              priors, k=10, alpha=1.0)
+
+
+def q_query_difficulty(spark, sf_dir):
+    """Pre-retrieval QPP per query: avg/max idf, avg ICTF, SCQ
+    (operators/boosts.py query_difficulty)."""
+    from .operators.boosts import query_difficulty
+    _tc, _ds, ts, n_docs, _a = _corpus(spark, sf_dir)
+    clen = int(ts.agg(F.sum("cf")).collect()[0][0])
+    return query_difficulty(query_terms_df(spark, QUERY_SET), ts,
+                            n_docs, clen)
+
+
 MAP_SWEEP_SCHEMES = ["nnc.nnn", "lnc.ltc", "btn.ltc", "ltu.nnn"]
 MAP_SWEEP_DEPTHS = [10, 100]
 
@@ -2203,6 +2247,65 @@ SELECT m.qid, count(*)::BIGINT AS n_any,
        sum(CASE WHEN m.nt = qn.nq THEN 1 ELSE 0 END)::BIGINT AS n_all
 FROM m JOIN qn USING (qid) GROUP BY 1"""
 
+    sql["bigram_phrase"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+bg AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+  FROM tokl, unnest(generate_series(1, len(l) - 1)) t(i)
+),
+bc AS (SELECT doc_id, bigram, count(*)::INT AS tf FROM bg GROUP BY 1, 2),
+qb(qid, bigram) AS (VALUES
+        {_bigram_values()}),
+nq AS (SELECT qid, count(*)::BIGINT AS nbi FROM qb GROUP BY 1),
+m AS (SELECT qb.qid, bc.doc_id, count(*)::BIGINT AS hit,
+             min(bc.tf)::INT AS min_pair_tf
+      FROM qb JOIN bc USING (bigram) GROUP BY 1, 2)
+SELECT m.qid, m.doc_id, m.min_pair_tf
+FROM m JOIN nq USING (qid) WHERE m.hit = nq.nbi"""
+
+    sql["boosted_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored_raw AS (SELECT qid, doc_id, sum(partial) AS s FROM hits GROUP BY 1, 2),
+boosted AS (SELECT sr.qid, sr.doc_id,
+                   round(sr.s + 1.0 * ln(1.0 + d.n_chars::DOUBLE), 6) AS score
+            FROM scored_raw sr JOIN documents d USING (doc_id)),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM boosted)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["query_difficulty"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+c AS (SELECT sum(cf)::DOUBLE AS c FROM ts),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+j AS (SELECT q.qid, q.term, ts.df::DOUBLE AS df, ts.cf::DOUBLE AS cf
+      FROM q LEFT JOIN ts USING (term)),
+x AS (SELECT qid, term, df,
+             ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf,
+             ln((SELECT c FROM c) / cf) AS ictf,
+             (1.0 + ln(cf)) * ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS scq_t
+      FROM j)
+SELECT qid, count(*)::BIGINT AS n_terms, count(df)::BIGINT AS n_matched,
+       round(avg(idf), 6) AS avg_idf, round(max(idf), 6) AS max_idf,
+       round(avg(ictf), 6) AS avg_ictf, round(sum(scq_t), 6) AS scq
+FROM x GROUP BY 1"""
+
     combos = "\nUNION ALL\n".join(
         _map_sweep_combo_sql(s, k)
         for s in MAP_SWEEP_SCHEMES for k in MAP_SWEEP_DEPTHS)
@@ -2647,4 +2750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25f_topk": q_bm25f_topk,
     "quantized_topk": q_quantized_topk,
     "hit_counts": q_hit_counts,
+    "bigram_phrase": q_bigram_phrase,
+    "boosted_topk": q_boosted_topk,
+    "query_difficulty": q_query_difficulty,
 }
