@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--expand", action="store_true",
                     help="join doc_map to show (conv_id, turn_idx)")
     ap.add_argument("--run-id", default="spark-bm25")
+    ap.add_argument("--count", action="store_true",
+                    help="print a COUNT qid n_any n_all header per query "
+                         "(docs matching any / all terms) before the hits")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -152,6 +155,10 @@ def main() -> None:
     else:
         res = bm25_topk_from_index(blocked, ix.doc_stats, qterms,
                                    ix.n_docs, ix.avgdl, k=args.k)
+    if args.count:
+        from search_engine_spark.operators.query import hit_counts
+        for r in hit_counts(ix.term_counts, qterms).orderBy("qid").collect():
+            print(f"COUNT\t{r.qid}\t{r.n_any}\t{r.n_all}")
     if args.expand:
         from search_engine_spark.operators.query import expand_results
         rows = expand_results(res, ix.doc_map).orderBy("qid", "rank").collect()

@@ -80,3 +80,16 @@ def test_cli_mlt_mode(built_index):
     assert 1 <= len(rows) <= 3
     assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
     assert all(r[1] != "0" for r in rows)  # seed excluded
+
+
+def test_cli_count_header(built_index):
+    """--count prints COUNT qid n_any n_all before the ranked hits."""
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "taat", "--count", "--query", "a se", "--k", "3"])
+    lines = [ln for ln in got.strip().splitlines() if "\t" in ln]
+    counts = [ln.split("\t") for ln in lines if ln.startswith("COUNT")]
+    hits = [ln.split("\t") for ln in lines if not ln.startswith("COUNT")]
+    assert len(counts) == 1 and counts[0][1] == "q001"
+    n_any, n_all = int(counts[0][2]), int(counts[0][3])
+    assert n_any >= n_all >= 1
+    assert 1 <= len(hits) <= 3
