@@ -93,6 +93,16 @@ def _syn_values() -> str:
     return ",\n        ".join(f"('{t}', '{s}')" for t, s in pairs)
 
 
+def _ordered_pair_values() -> str:
+    """(qid, term_a, term_b) VALUES rows mirroring ordered_pairs_df."""
+    rows = []
+    for qid, title in PHRASE_SET:
+        t = tokenize_py(title)
+        if len(t) >= 2:
+            rows.append(f"('{qid}', '{t[0]}', '{t[1]}')")
+    return ",\n        ".join(rows)
+
+
 def _bigram_values() -> str:
     """(qid, bigram) VALUES rows mirroring phrase_bigrams_df."""
     rows = []
@@ -1218,6 +1228,29 @@ def q_query_difficulty(spark, sf_dir):
                             n_docs, clen)
 
 
+def q_ordered_near(spark, sf_dir):
+    """Ordered FOLLOWED-BY proximity: term_a before term_b within
+    NEAR_WINDOW tokens (operators/proximity.py followed_by_match,
+    one-sided banded range join)."""
+    from .operators.proximity import followed_by_match, ordered_pairs_df
+    pq = ordered_pairs_df(spark, PHRASE_SET)
+    return followed_by_match(_pos_idx(spark, sf_dir), pq,
+                             window=NEAR_WINDOW)
+
+
+FILTER_FACET_VALUE = "src3"
+
+
+def q_filtered_topk(spark, sf_dir):
+    """Facet drilldown: BM25 top-10 restricted to source=src3 with
+    GLOBAL collection statistics (operators/facets.py filtered_topk)."""
+    from .operators.facets import filtered_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return filtered_topk(tc, ds, ts, q, _docs(spark, sf_dir), "source",
+                         FILTER_FACET_VALUE, n_docs, avgdl, k=10)
+
+
 MAP_SWEEP_SCHEMES = ["nnc.nnn", "lnc.ltc", "btn.ltc", "ltu.nnn"]
 MAP_SWEEP_DEPTHS = [10, 100]
 
@@ -2306,6 +2339,42 @@ SELECT qid, count(*)::BIGINT AS n_terms, count(df)::BIGINT AS n_matched,
        round(avg(ictf), 6) AS avg_ictf, round(sum(scq_t), 6) AS scq
 FROM x GROUP BY 1"""
 
+    sql["ordered_near"] = f"""
+WITH {POSITIONS_CTE},
+pq(qid, term_a, term_b) AS (VALUES
+        {_ordered_pair_values()}),
+aocc AS (SELECT pq.qid, tokp.doc_id, pq.term_b, tokp.pos AS pos_a
+         FROM pq JOIN tokp ON tokp.term = pq.term_a),
+ohits AS (SELECT a.qid, a.doc_id, (b.pos - a.pos_a) AS gap
+          FROM aocc a JOIN tokp b
+               ON b.doc_id = a.doc_id AND b.term = a.term_b
+          WHERE b.pos - a.pos_a BETWEEN 1 AND {NEAR_WINDOW})
+SELECT qid, doc_id, count(*)::BIGINT AS n_hits, min(gap)::INT AS min_gap
+FROM ohits GROUP BY 1, 2"""
+
+    sql["filtered_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+keep AS (SELECT doc_id FROM documents WHERE source = 'src3'),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+       JOIN keep ON keep.doc_id = tc.doc_id
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
     combos = "\nUNION ALL\n".join(
         _map_sweep_combo_sql(s, k)
         for s in MAP_SWEEP_SCHEMES for k in MAP_SWEEP_DEPTHS)
@@ -2753,4 +2822,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_phrase": q_bigram_phrase,
     "boosted_topk": q_boosted_topk,
     "query_difficulty": q_query_difficulty,
+    "ordered_near": q_ordered_near,
+    "filtered_topk": q_filtered_topk,
 }

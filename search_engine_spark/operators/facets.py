@@ -81,3 +81,24 @@ def collapse_topk(scored: DataFrame, doc_meta: DataFrame, group_col: str,
     return (best.withColumn("rank", F.row_number().over(w_out).cast("int"))
             .where(F.col("rank") <= k)
             .select("qid", "doc_id", "group", "rank", "score"))
+
+
+def filtered_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                  qterms: DataFrame, doc_meta: DataFrame, facet_col: str,
+                  facet_value: str, n_docs: int, avgdl: float,
+                  k: int = TOP_K_DEFAULT) -> DataFrame:
+    """Facet drilldown: BM25 top-k restricted to docs whose
+    `facet_col` equals `facet_value` ("search within source=X").
+
+    Collection statistics (df, avgdl, N) stay GLOBAL — the filter
+    narrows the candidate set, not the scoring model (the standard
+    engine semantics: a filter must not change scores). The facet
+    predicate lands on the metadata table's scan (pushed to parquet)
+    and restricts tc via a doc_id semi-join BEFORE scoring, so the
+    posting join only ever sees surviving docs. With a facet-
+    partitioned metadata layout the scan prunes to one partition."""
+    from .query import bm25_topk
+    keep = doc_meta.where(F.col(facet_col) == F.lit(facet_value)) \
+                   .select("doc_id")
+    return bm25_topk(tc.join(keep, "doc_id", "leftsemi"), ds, tstats,
+                     qterms, n_docs, avgdl, k=k)

@@ -161,3 +161,50 @@ def near_bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score", "min_gap")
     )
+
+
+def ordered_pairs_df(spark: SparkSession,
+                     pair_set: list[tuple[str, str]]) -> DataFrame:
+    """(qid, term_a, term_b) — ordered FOLLOWED-BY pairs from the
+    first two tokens of each query string (driver-local tokenize;
+    single-token queries yield no row)."""
+    rows = []
+    for qid, title in pair_set:
+        t = tokenize_py(title)
+        if len(t) >= 2:
+            rows.append((qid, t[0], t[1]))
+    return spark.createDataFrame(rows, "qid string, term_a string, term_b string")
+
+
+def followed_by_match(pos_idx: DataFrame, pairq: DataFrame,
+                      window: int = NEAR_WINDOW) -> DataFrame:
+    """(qid, doc_id, n_hits, min_gap) — ORDERED proximity: docs where
+    term_a occurs at position p and term_b at q with 1 ≤ q − p ≤ W
+    (the directional half of NEAR/W; W=1 degenerates to the exact
+    bigram adjacency operators/bigrams.py serves from its pair index).
+
+    Same banded range-join as near_match, but one-sided: the a side
+    keeps its own band ``p div W``; the b side presents
+    {q div W, q div W − 1} — q ∈ [p+1, p+W] implies band(q) ∈
+    {band(p), band(p)+1}, so the equi-join on (qid, doc_id, bkt)
+    covers every qualifying ordered pair with a constant 2× explode.
+    n_hits counts qualifying (p, q) pairs; min_gap = min(q − p)."""
+    w = F.lit(int(window))
+    aocc = (pos_idx.join(F.broadcast(pairq.select("qid", F.col("term_a")
+                                                  .alias("term"))),
+                         "term", "inner")
+            .select("qid", "doc_id", F.explode("positions").alias("pos_a"))
+            .withColumn("bkt", (F.col("pos_a").cast("long") / w).cast("long")))
+    bocc = (pos_idx.join(F.broadcast(pairq.select("qid", F.col("term_b")
+                                                  .alias("term"))),
+                         "term", "inner")
+            .select("qid", "doc_id", F.explode("positions").alias("pos_b"))
+            .withColumn("bkt", F.explode(F.array(
+                (F.col("pos_b").cast("long") / w).cast("long"),
+                (F.col("pos_b").cast("long") / w).cast("long") - 1))))
+    gap = F.col("pos_b") - F.col("pos_a")
+    return (aocc.join(bocc, ["qid", "doc_id", "bkt"])
+            .where((gap >= 1) & (gap <= w))
+            .groupBy("qid", "doc_id")
+            .agg(F.count("*").cast("long").alias("n_hits"),
+                 F.min(gap).cast("int").alias("min_gap")))

@@ -79,3 +79,29 @@ def test_collapse_topk_rounded_tie_order(spark, facet_fixture):
     got = collapse_topk(scored, meta, "source", k=10).collect()
     assert [(r.doc_id, r.rank) for r in sorted(got, key=lambda r: r.rank)] \
         == [(3, 1)]  # same group s2: doc 3 wins the rounded tie by doc_id
+
+
+def test_filtered_topk_global_stats(spark):
+    """Drilldown keeps GLOBAL scoring stats: surviving docs score
+    exactly as in the unfiltered ranking; non-facet docs are gone."""
+    from search_engine_spark.operators.facets import filtered_topk
+    from search_engine_spark.operators.query import bm25_topk
+    tc = spark.createDataFrame(
+        [(1, "x", 2), (2, "x", 1), (3, "x", 5)],
+        "doc_id long, term string, tf int")
+    ds = spark.createDataFrame([(1, 4), (2, 4), (3, 9)],
+                               "doc_id long, dl long")
+    ts = spark.createDataFrame([("x", 3)], "term string, df long")
+    meta = spark.createDataFrame([(1, "s1"), (2, "s2"), (3, "s1")],
+                                 "doc_id long, source string")
+    q = spark.createDataFrame([("q1", "x", 1)],
+                              "qid string, term string, qtf int")
+    full = {r.doc_id: r.score
+            for r in bm25_topk(tc, ds, ts, q, 3, 17 / 3, k=10).collect()}
+    got = sorted(filtered_topk(tc, ds, ts, q, meta, "source", "s1",
+                               3, 17 / 3, k=10).collect(),
+                 key=lambda r: r.rank)
+    assert [r.doc_id for r in got] == sorted(
+        [1, 3], key=lambda d: (-full[d], d))
+    for r in got:
+        assert r.score == full[r.doc_id]  # filter never changes scores

@@ -126,3 +126,37 @@ def test_near_bm25_topk_matches_filtered_oracle(spark, near_built):
             [(d, r, mg) for d, r, _, mg in exp], f"{qid}: {g} vs {exp}"
         for (gd, _, gs, _), (_, _, es, _) in zip(g, exp):
             assert math.isclose(gs, es, abs_tol=1e-6), f"{qid} doc {gd}"
+
+
+def test_followed_by_ordered_and_window(spark):
+    """Ordered proximity: a→b within W only; b→a never matches; band
+    boundaries (gap == W, gap == W+1) behave exactly."""
+    from search_engine_spark.operators.proximity import (followed_by_match,
+                                                         ordered_pairs_df)
+    W = 4
+    # doc 1: a at 1, b at 5 (gap 4 == W: match). doc 2: b at 1, a at 3
+    # (only reverse order: no match). doc 3: a at 1, b at 6 (gap 5 > W).
+    # doc 4: a at 2 and 7, b at 8 → pairs (2,8) gap 6 no, (7,8) gap 1 yes.
+    pos = spark.createDataFrame(
+        [("a", 1, [1]), ("b", 1, [5]),
+         ("b", 2, [1]), ("a", 2, [3]),
+         ("a", 3, [1]), ("b", 3, [6]),
+         ("a", 4, [2, 7]), ("b", 4, [8])],
+        "term string, doc_id long, positions array<int>")
+    pq = ordered_pairs_df(spark, [("p1", "a b")])
+    got = {r.doc_id: (r.n_hits, r.min_gap)
+           for r in followed_by_match(pos, pq, window=W).collect()}
+    assert got == {1: (1, 4), 4: (1, 1)}
+
+
+def test_followed_by_repeated_term_pair(spark):
+    """term_a == term_b counts ordered same-term pairs (p < q ≤ p+W)."""
+    from search_engine_spark.operators.proximity import (followed_by_match,
+                                                         ordered_pairs_df)
+    pos = spark.createDataFrame(
+        [("line", 1, [1, 3, 9])],
+        "term string, doc_id long, positions array<int>")
+    pq = ordered_pairs_df(spark, [("p1", "line line")])
+    got = followed_by_match(pos, pq, window=4).collect()
+    # qualifying ordered pairs: (1,3) gap 2 — (3,9) and (1,9) exceed W
+    assert [(r.doc_id, r.n_hits, r.min_gap) for r in got] == [(1, 1, 2)]
