@@ -186,24 +186,33 @@ def followed_by_match(pos_idx: DataFrame, pairq: DataFrame,
     Same banded range-join as near_match, but one-sided: the a side
     keeps its own band ``p div W``; the b side presents
     {q div W, q div W − 1} — q ∈ [p+1, p+W] implies band(q) ∈
-    {band(p), band(p)+1}, so the equi-join on (qid, doc_id, bkt)
-    covers every qualifying ordered pair with a constant 2× explode.
-    n_hits counts qualifying (p, q) pairs; min_gap = min(q − p)."""
+    {band(p), band(p)+1}, so the pair-keyed equi-join covers every
+    qualifying ordered pair with a constant 2× explode. n_hits counts
+    qualifying (p, q) position pairs; min_gap = min(q − p). With
+    several (a→b) constraints per qid the semantics are DISJUNCTIVE:
+    a doc appears when any constraint matches and n_hits totals hits
+    across constraints (each constraint matched only against its own
+    pair — the join key carries (term_a, term_b))."""
     w = F.lit(int(window))
-    aocc = (pos_idx.join(F.broadcast(pairq.select("qid", F.col("term_a")
-                                                  .alias("term"))),
+    # Both sides carry the FULL (qid, term_a, term_b) pair key: with
+    # several pairs per qid, joining on qid alone would cross-match
+    # pair 1's a-occurrences against pair 2's b-occurrences.
+    aocc = (pos_idx.join(F.broadcast(pairq.withColumn("term",
+                                                      F.col("term_a"))),
                          "term", "inner")
-            .select("qid", "doc_id", F.explode("positions").alias("pos_a"))
+            .select("qid", "term_a", "term_b", "doc_id",
+                    F.explode("positions").alias("pos_a"))
             .withColumn("bkt", (F.col("pos_a").cast("long") / w).cast("long")))
-    bocc = (pos_idx.join(F.broadcast(pairq.select("qid", F.col("term_b")
-                                                  .alias("term"))),
+    bocc = (pos_idx.join(F.broadcast(pairq.withColumn("term",
+                                                      F.col("term_b"))),
                          "term", "inner")
-            .select("qid", "doc_id", F.explode("positions").alias("pos_b"))
+            .select("qid", "term_a", "term_b", "doc_id",
+                    F.explode("positions").alias("pos_b"))
             .withColumn("bkt", F.explode(F.array(
                 (F.col("pos_b").cast("long") / w).cast("long"),
                 (F.col("pos_b").cast("long") / w).cast("long") - 1))))
     gap = F.col("pos_b") - F.col("pos_a")
-    return (aocc.join(bocc, ["qid", "doc_id", "bkt"])
+    return (aocc.join(bocc, ["qid", "term_a", "term_b", "doc_id", "bkt"])
             .where((gap >= 1) & (gap <= w))
             .groupBy("qid", "doc_id")
             .agg(F.count("*").cast("long").alias("n_hits"),

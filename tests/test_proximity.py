@@ -160,3 +160,18 @@ def test_followed_by_repeated_term_pair(spark):
     got = followed_by_match(pos, pq, window=4).collect()
     # qualifying ordered pairs: (1,3) gap 2 — (3,9) and (1,9) exceed W
     assert [(r.doc_id, r.n_hits, r.min_gap) for r in got] == [(1, 1, 2)]
+
+
+def test_followed_by_multi_pair_isolation(spark):
+    """Several (a→b) constraints per qid never cross-match: pair 1's
+    a-side must not pair with pair 2's b-side."""
+    from search_engine_spark.operators.proximity import followed_by_match
+    # doc 1: a..d adjacent (a→d is NOT a constraint → must not count);
+    # constraints a→b (no b in doc) and c→d (c at 5, d at 6: match).
+    pos = spark.createDataFrame(
+        [("a", 1, [1]), ("d", 1, [2, 6]), ("c", 1, [5])],
+        "term string, doc_id long, positions array<int>")
+    pq = spark.createDataFrame([("p1", "a", "b"), ("p1", "c", "d")],
+                               "qid string, term_a string, term_b string")
+    got = followed_by_match(pos, pq, window=4).collect()
+    assert [(r.doc_id, r.n_hits, r.min_gap) for r in got] == [(1, 1, 1)]
