@@ -1238,6 +1238,32 @@ def q_ordered_near(spark, sf_dir):
                              window=NEAR_WINDOW)
 
 
+def q_score_explain(spark, sf_dir):
+    """Per-term score breakdown (tf, df, idf, sat, partial) for the
+    BM25 top-3 of each query — the Lucene-explain debuggability face
+    (operators/query.py bm25_explain)."""
+    from .operators.query import bm25_explain
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    top3 = bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=3)
+    return bm25_explain(tc, ds, ts, q, n_docs, avgdl, top3)
+
+
+def q_search_after(spark, sf_dir):
+    """Page 2 via a search_after cursor (the rank-10 hit): stateless
+    deep pagination in the pinned order (operators/query.py
+    search_after) — must equal ranks 11–20 of the full ranking."""
+    from .operators.query import bm25_scores, search_after
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    page1 = bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+    cursors = (page1.where(F.col("rank") == 10)
+               .select("qid", F.col("score").alias("after_score"),
+                       F.col("doc_id").alias("after_doc_id")))
+    return search_after(bm25_scores(tc, ds, ts, q, n_docs, avgdl),
+                        cursors, k=10)
+
+
 FILTER_FACET_VALUE = "src3"
 
 
@@ -2243,6 +2269,27 @@ ranked AS (SELECT qid, doc_id, score,
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
+    sql["score_explain"] = f"""
+WITH {_bm25_ctes()},
+top3 AS (SELECT qid, doc_id FROM ranked WHERE rank <= 3),
+ex AS (
+  SELECT q.qid, tc.doc_id, q.term, tc.tf::INT AS tf, ts.df::BIGINT AS df,
+         ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5)) AS idf_raw,
+         (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+           / (tc.tf::DOUBLE + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl))) AS sat_raw,
+         q.qtf
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+       JOIN top3 ON top3.qid = q.qid AND top3.doc_id = tc.doc_id
+)
+SELECT qid, doc_id, term, tf, df, round(idf_raw, 6) AS idf,
+       round(sat_raw, 6) AS sat, round(qtf * idf_raw * sat_raw, 6) AS partial
+FROM ex"""
+
+    sql["search_after"] = f"""
+WITH {_bm25_ctes()}
+SELECT qid, doc_id, (rank - 10)::INT AS rank, score
+FROM ranked WHERE rank BETWEEN 11 AND 20"""
+
     sql["quantized_topk"] = f"""
 WITH {TOK_CTE},
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
@@ -2824,4 +2871,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_difficulty": q_query_difficulty,
     "ordered_near": q_ordered_near,
     "filtered_topk": q_filtered_topk,
+    "score_explain": q_score_explain,
+    "search_after": q_search_after,
 }

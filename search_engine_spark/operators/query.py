@@ -421,3 +421,53 @@ def hit_counts(tc: DataFrame, qterms: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_any"),
                  F.sum(F.when(F.col("_nt") == F.col("_nq"), 1)
                        .otherwise(0)).cast("long").alias("n_all")))
+
+
+def bm25_explain(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                 qterms: DataFrame, n_docs: int, avgdl: float,
+                 results: DataFrame,
+                 k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """(qid, doc_id, term, tf, df, idf, sat, partial) — the per-term
+    score breakdown for docs in `results` (qid, doc_id, ...): the
+    engine's answer to "why did this doc rank here" (Lucene explain).
+
+    Semi-joins the hit relation to the (tiny) result set FIRST, so the
+    breakdown costs one broadcast join over ≤ |results| × |query
+    terms| rows regardless of corpus size. partial sums to the doc's
+    unrounded score by construction."""
+    qdict = F.broadcast(qterms.join(tstats.select("term", "df"),
+                                    "term", "inner"))
+    keep = F.broadcast(results.select("qid", "doc_id").distinct())
+    hits = (tc.join(qdict, "term", "inner")
+            .join(keep, ["qid", "doc_id"], "leftsemi")
+            .join(ds.select("doc_id", "dl"), "doc_id"))
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    idf = _bm25_idf(F.col("df").cast("double"), n_docs)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    return hits.select(
+        "qid", "doc_id", "term", F.col("tf").cast("int").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(idf, 6).alias("idf"), F.round(sat, 6).alias("sat"),
+        F.round(F.col("qtf") * idf * sat, 6).alias("partial"))
+
+
+def search_after(scored: DataFrame, cursors: DataFrame,
+                 k: int = TOP_K_DEFAULT) -> DataFrame:
+    """(qid, doc_id, rank, score) — the NEXT k hits strictly after a
+    per-query cursor in the pinned (score desc, doc_id asc) order:
+    stateless deep pagination (Elasticsearch search_after), no
+    window-offset scan of the skipped prefix.
+
+    `scored`: (qid, doc_id, score) pre-top-k; `cursors`:
+    (qid, after_score, after_doc_id) — the last hit of the previous
+    page (rounded score, the same value the engine returned). The
+    cursor predicate filters BEFORE the top-k window, so per-partition
+    state stays k regardless of page depth; rank restarts at 1 per
+    page by construction (the cursor defines the page)."""
+    s = scored.withColumn("score", F.round("score", SCORE_DECIMALS))
+    j = s.join(F.broadcast(cursors), "qid", "inner")
+    after = ((F.col("score") < F.col("after_score"))
+             | ((F.col("score") == F.col("after_score"))
+                & (F.col("doc_id") > F.col("after_doc_id"))))
+    return _topk(j.where(after).select("qid", "doc_id", "score"), k)

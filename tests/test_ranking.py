@@ -134,3 +134,40 @@ def test_bm25_exclusion_rank_identity(spark, built):
         for (gd, _, gs), (_, _, es) in zip(g, exp):
             assert math.isclose(gs, es, abs_tol=1e-6), f"{qid} doc {gd}"
     assert "x3" not in got
+
+
+def test_bm25_explain_partials_sum_to_score(spark, built):
+    """explain partials sum (pre-round) to the doc's ranked score."""
+    from pyspark.sql import functions as F
+    from search_engine_spark.operators.query import bm25_explain, bm25_topk
+    _tw, tc, ds, ts_, _idx, cs, _o = built
+    q = spark.createDataFrame([("q1", "a", 1), ("q1", "se", 1)],
+                              "qid string, term string, qtf int")
+    top = bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=3)
+    ex = bm25_explain(tc, ds, ts_, q, cs["N"], cs["avgdl"], top)
+    sums = {r.doc_id: r.s for r in
+            ex.groupBy("doc_id").agg(F.sum("partial").alias("s")).collect()}
+    for r in top.collect():
+        assert math.isclose(sums[r.doc_id], r.score, abs_tol=2e-6)
+
+
+def test_search_after_equals_deep_page(spark, built):
+    """search_after from the rank-10 cursor ≡ ranks 11-20 re-ranked."""
+    from pyspark.sql import functions as F
+    from search_engine_spark.operators.query import (bm25_scores, bm25_topk,
+                                                     search_after)
+    _tw, tc, ds, ts_, _idx, cs, _o = built
+    q = spark.createDataFrame([("q1", "a", 1), ("q1", "se", 1)],
+                              "qid string, term string, qtf int")
+    deep = bm25_topk(tc, ds, ts_, q, cs["N"], cs["avgdl"], k=20)
+    cursors = (deep.where(F.col("rank") == 10)
+               .select("qid", F.col("score").alias("after_score"),
+                       F.col("doc_id").alias("after_doc_id")))
+    page2 = sorted(search_after(
+        bm25_scores(tc, ds, ts_, q, cs["N"], cs["avgdl"]),
+        cursors, k=10).collect(), key=lambda r: r.rank)
+    want = sorted([r for r in deep.collect() if r.rank > 10],
+                  key=lambda r: r.rank)
+    assert [(r.doc_id, r.score) for r in page2] == \
+        [(r.doc_id, r.score) for r in want]
+    assert [r.rank for r in page2] == list(range(1, len(page2) + 1))
