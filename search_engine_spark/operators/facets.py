@@ -93,12 +93,16 @@ def filtered_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     Collection statistics (df, avgdl, N) stay GLOBAL — the filter
     narrows the candidate set, not the scoring model (the standard
     engine semantics: a filter must not change scores). The facet
-    predicate lands on the metadata table's scan (pushed to parquet)
-    and restricts tc via a doc_id semi-join BEFORE scoring, so the
-    posting join only ever sees surviving docs. With a facet-
-    partitioned metadata layout the scan prunes to one partition."""
-    from .query import bm25_topk
+    predicate lands on the metadata table's scan (pushed to parquet;
+    with a facet-partitioned layout it prunes to one partition) and
+    the semi-join runs on the SCORED candidate relation — already
+    term-pruned to |candidates| rows — never on the full postings
+    table, so no corpus-sized doc_id join exists at any facet
+    selectivity. (An engine with facet-clustered postings would
+    instead push the filter under the posting scan; the relational
+    form here keeps the index layout facet-agnostic.)"""
+    from .query import _topk, bm25_scores
     keep = doc_meta.where(F.col(facet_col) == F.lit(facet_value)) \
                    .select("doc_id")
-    return bm25_topk(tc.join(keep, "doc_id", "leftsemi"), ds, tstats,
-                     qterms, n_docs, avgdl, k=k)
+    scored = bm25_scores(tc, ds, tstats, qterms, n_docs, avgdl)
+    return _topk(scored.join(keep, "doc_id", "leftsemi"), k)
