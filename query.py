@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--count", action="store_true",
                     help="print a COUNT qid n_any n_all header per query "
                          "(docs matching any / all terms) before the hits")
+    ap.add_argument("--explain", action="store_true",
+                    help="print an EXPLAIN qid doc term tf df idf sat "
+                         "partial line per scored term of each hit "
+                         "(BM25 modes)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -168,6 +172,13 @@ def main() -> None:
         rows = res.orderBy("qid", "rank").collect()
         for r in rows:
             print(f"{r.qid}\t{r.doc_id}\t{r.rank}\t{r.score}")
+    if args.explain:
+        from search_engine_spark.operators.query import bm25_explain
+        ex = bm25_explain(ix.term_counts, ix.doc_stats, ix.term_stats,
+                          qterms, ix.n_docs, ix.avgdl, res)
+        for r in ex.orderBy("qid", "doc_id", "term").collect():
+            print(f"EXPLAIN\t{r.qid}\t{r.doc_id}\t{r.term}\t{r.tf}\t{r.df}"
+                  f"\t{r.idf}\t{r.sat}\t{r.partial}")
     if args.trec_out:
         lines = [r.line for r in
                  trec_export(res, run_id=args.run_id).orderBy("line").collect()]

@@ -93,3 +93,17 @@ def test_cli_count_header(built_index):
     n_any, n_all = int(counts[0][2]), int(counts[0][3])
     assert n_any >= n_all >= 1
     assert 1 <= len(hits) <= 3
+
+
+def test_cli_explain_lines(built_index):
+    """--explain prints per-term EXPLAIN rows whose partials are
+    positive and cover every returned hit."""
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "taat", "--explain", "--query", "a se",
+                "--k", "3"])
+    lines = [ln for ln in got.strip().splitlines() if "\t" in ln]
+    hits = {ln.split("\t")[1] for ln in lines if not ln.startswith("EXPLAIN")}
+    ex = [ln.split("\t") for ln in lines if ln.startswith("EXPLAIN")]
+    assert ex and {e[2] for e in ex} == hits  # every hit explained
+    assert all(float(e[8]) > 0 for e in ex)
+    assert all(e[3] in ("a", "se") for e in ex)
