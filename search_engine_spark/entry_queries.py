@@ -608,6 +608,23 @@ def q_phrase_match(spark, sf_dir):
     return phrase_match_topk(_pos_idx(spark, sf_dir), ph, k=20)
 
 
+def q_phrase_match_varbyte(spark, sf_dir):
+    """q_phrase_match served through the delta-gap + varbyte positional
+    codec (functions/codec.py encode/decode_positions_udf): positions
+    are encoded to binary and decoded back BEFORE matching, so the gate
+    proves the compressed positional stream is lossless end-to-end
+    against the same phrase oracle."""
+    from .functions.codec import decode_positions_udf, encode_positions_udf
+    from .operators.positional import phrase_match_topk, phrase_terms_df
+    pos = _pos_idx(spark, sf_dir)
+    roundtrip = (pos.withColumn("_enc", encode_positions_udf("positions"))
+                 .drop("positions")
+                 .withColumn("positions", decode_positions_udf("_enc"))
+                 .drop("_enc"))
+    ph = phrase_terms_df(spark, PHRASE_SET)
+    return phrase_match_topk(roundtrip, ph, k=20)
+
+
 def q_phrase_stats(spark, sf_dir):
     """Per-phrase match profile (docs matched, total occurrences)."""
     from .operators.positional import phrase_stats, phrase_terms_df
@@ -1563,6 +1580,8 @@ SELECT qid, doc_id, phrase_tf, rank FROM (
          (row_number() OVER (PARTITION BY qid ORDER BY phrase_tf DESC, doc_id))::INT AS rank
   FROM pm
 ) WHERE rank <= 20"""
+    # codec round-trip must be value-invisible: same oracle
+    sql["phrase_match_varbyte"] = sql["phrase_match"]
 
     sql["phrase_stats"] = f"""
 WITH {POSITIONS_CTE},
@@ -2873,4 +2892,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filtered_topk": q_filtered_topk,
     "score_explain": q_score_explain,
     "search_after": q_search_after,
+    "phrase_match_varbyte": q_phrase_match_varbyte,
 }

@@ -192,3 +192,33 @@ def decoded_postings_long(enc: DataFrame) -> DataFrame:
                 F.col("_dec.tfs").alias("tf"))).alias("p"))
             .select(*meta, F.col("p.doc_id").alias("doc_id"),
                     F.col("p.tf").cast("int").alias("tf")))
+
+
+# --- positional stream ------------------------------------------------
+
+@pandas_udf(T.BinaryType())
+def encode_positions_udf(positions: pd.Series) -> pd.Series:
+    """array<int> (strictly ascending 1-based token positions) →
+    binary: varbyte(n) + varbyte(position gaps). The positional index
+    dominates index bytes at corpus scale, and position gaps within a
+    document are small, so the same delta-gap + varbyte treatment the
+    doc-id stream gets compresses it hardest."""
+    out = []
+    for p in positions:
+        a = np.asarray(p, dtype=np.uint64)
+        gaps = np.diff(a, prepend=np.uint64(0))
+        header = varbyte_encode(np.array([a.size], dtype=np.uint64))
+        out.append(header.tobytes() + varbyte_encode(gaps).tobytes())
+    return pd.Series(out)
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def decode_positions_udf(enc: pd.Series) -> pd.Series:
+    """binary → array<int> positions (exact inverse)."""
+    out = []
+    for buf in enc:
+        vals = varbyte_decode(np.frombuffer(bytes(buf), dtype=np.uint8))
+        n = int(vals[0]) if vals.size else 0
+        out.append(np.cumsum(vals[1:1 + n], dtype=np.uint64)
+                   .astype(np.int64).astype(np.int32).tolist())
+    return pd.Series(out)

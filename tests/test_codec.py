@@ -84,3 +84,31 @@ def test_spark_encode_decode_index_identity(spark, tiny_corpus):
                        tuple((p.doc_id, p.tf) for p in r.postings)) for r in rows)
 
     assert key(dec) == key(idx)
+
+
+def test_positions_roundtrip_property(spark):
+    """encode→decode over the positional stream is the identity,
+    including empty, single, dense-adjacent, and large-gap lists."""
+    from search_engine_spark.functions.codec import (decode_positions_udf,
+                                                     encode_positions_udf)
+    rows = [(1, [1]), (2, [1, 2, 3, 4]), (3, [5, 900, 100000]),
+            (4, []), (5, list(range(1, 513)))]
+    df = spark.createDataFrame(rows, "doc_id long, positions array<int>")
+    got = {r.doc_id: r.back for r in
+           df.select("doc_id",
+                     decode_positions_udf(encode_positions_udf("positions"))
+                     .alias("back")).collect()}
+    for doc_id, pos in rows:
+        assert got[doc_id] == pos
+
+
+def test_positions_encoding_is_compact(spark):
+    """Dense position lists shrink well below the 4-byte-per-position
+    plain layout (the point of gap+varbyte at corpus scale)."""
+    from pyspark.sql import functions as F
+    from search_engine_spark.functions.codec import encode_positions_udf
+    dense = [(1, list(range(1, 1001)))]
+    df = spark.createDataFrame(dense, "doc_id long, positions array<int>")
+    n = df.select(F.length(encode_positions_udf("positions")).alias("n")) \
+          .collect()[0].n
+    assert n < 1000 * 2  # gaps of 1 → ~1 byte each (+header)
