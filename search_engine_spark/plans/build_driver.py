@@ -244,6 +244,15 @@ class CheckpointedBuild:
                 "term_bucket",
                 F.pmod(F.xxhash64("term"),
                        F.lit(self.n_term_buckets)).cast("int"))
+            if self.compress:
+                # persist the positional stream delta-gap varbyte
+                # encoded (pos_enc binary) — the positional component
+                # dominates index bytes at corpus scale; serving
+                # decodes AFTER the partition + term prune
+                from ..functions.codec import encode_positions_udf
+                pos = (pos.withColumn("pos_enc",
+                                      encode_positions_udf("positions"))
+                       .drop("positions"))
             self._commit("positional", pos, lineage=["transcripts"],
                          partition_by=["term_bucket"])
         elif _is_done(self.out_dir, "positional"):
@@ -339,13 +348,21 @@ class OpenedIndex:
         buckets = [r.b for r in qterms.select(
             F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
             .cast("int").alias("b")).distinct().collect()]
-        return (
+        pos = (
             self.positional
             .where(F.col("term_bucket").isin(buckets))
             .join(F.broadcast(qterms.select("term").distinct()),
                   "term", "leftsemi")
             .drop("term_bucket")
         )
+        if "pos_enc" in pos.columns:
+            # compressed stage layout: decode AFTER the partition +
+            # term prune, so only query-term rows run the pandas UDF
+            from ..functions.codec import decode_positions_udf
+            pos = (pos.withColumn("positions",
+                                  decode_positions_udf("pos_enc"))
+                   .drop("pos_enc"))
+        return pos
 
 
 def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
