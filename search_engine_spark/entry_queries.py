@@ -608,6 +608,37 @@ def q_phrase_match(spark, sf_dir):
     return phrase_match_topk(_pos_idx(spark, sf_dir), ph, k=20)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): docs sharing
+    a token 8-gram with the synthetic eval set — two eval items are
+    token windows lifted from docs 7 and 21 (guaranteed hits), one is
+    an out-of-vocabulary no-match."""
+    from .functions.tokenize import tokens_col
+    from .operators.decontam import contaminated_docs
+    docs = _docs(spark, sf_dir)
+    src = (docs.where(F.col("doc_id").isin(7, 21))
+           .select("doc_id", tokens_col("text").alias("_t")))
+    ev = src.select(
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("eval_id"),
+        F.when(F.col("doc_id") == 7,
+               F.concat_ws(" ", F.expr("slice(_t, 1, 12)")))
+         .otherwise(F.concat_ws(" ", F.expr("slice(_t, 3, 12)")))
+         .alias("text"))
+    ev = ev.unionByName(spark.createDataFrame(
+        [("e0", "zz qq ww rr tt yy uu ii")], "eval_id string, text string"))
+    return contaminated_docs(docs, ev, n=8)
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Transitive dedup clusters: connected components over the
+    shingle-Jaccard duplicate pairs (operators/clusters.py — iterative
+    min-label propagation to fixpoint, localCheckpoint-truncated
+    lineage). (node, comp) with comp = min member id."""
+    from .operators.clusters import connected_components
+    edges = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return connected_components(edges)
+
+
 def q_phrase_match_varbyte(spark, sf_dir):
     """q_phrase_match served through the delta-gap + varbyte positional
     codec (functions/codec.py encode/decode_positions_udf): positions
@@ -1582,6 +1613,49 @@ SELECT qid, doc_id, phrase_tf, rank FROM (
 ) WHERE rank <= 20"""
     # codec round-trip must be value-invisible: same oracle
     sql["phrase_match_varbyte"] = sql["phrase_match"]
+
+    sql["decontaminate"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+ev AS (
+  SELECT 'e7' AS eval_id, array_to_string(l[1:12], ' ') AS text
+  FROM tokl WHERE doc_id = 7
+  UNION ALL
+  SELECT 'e21', array_to_string(l[3:14], ' ') FROM tokl WHERE doc_id = 21
+  UNION ALL
+  SELECT 'e0', 'zz qq ww rr tt yy uu ii'
+),
+evl AS (SELECT eval_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM ev),
+evsh AS (SELECT DISTINCT eval_id, array_to_string(l[i:i+7], '_') AS shingle
+         FROM evl, unnest(generate_series(1, greatest(len(l) - 7, 0))) t(i)),
+dsh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], '_') AS shingle
+        FROM tokl, unnest(generate_series(1, greatest(len(l) - 7, 0))) t(i))
+SELECT d.doc_id, e.eval_id, count(*)::BIGINT AS n_hits
+FROM dsh d JOIN evsh e USING (shingle) GROUP BY 1, 2"""
+
+    sql["dup_clusters"] = f"""
+WITH RECURSIVE {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ed AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+        UNION SELECT doc_b, doc_a FROM ed),
+walk(node, reach) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
+)
+SELECT node, min(reach)::BIGINT AS comp FROM walk GROUP BY node"""
 
     sql["phrase_stats"] = f"""
 WITH {POSITIONS_CTE},
@@ -2893,4 +2967,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_explain": q_score_explain,
     "search_after": q_search_after,
     "phrase_match_varbyte": q_phrase_match_varbyte,
+    "decontaminate": q_decontaminate,
+    "dup_clusters": q_dup_clusters,
 }
