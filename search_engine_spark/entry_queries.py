@@ -629,6 +629,15 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(docs, ev, n=8)
 
 
+def q_doc_perplexity(spark, sf_dir):
+    """Unigram cross-entropy quality score per doc (operators/
+    textstats.py doc_perplexity — the perplexity-filter face of the
+    quality tier; swaps to a trained LM by replacing cf/|C|)."""
+    tc, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    clen = int(ts.agg(F.sum("cf")).collect()[0][0])
+    return textstats.doc_perplexity(tc, ts, clen)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Transitive dedup clusters: connected components over the
     shingle-Jaccard duplicate pairs (operators/clusters.py — iterative
@@ -1656,6 +1665,18 @@ walk(node, reach) AS (
   SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
 )
 SELECT node, min(reach)::BIGINT AS comp FROM walk GROUP BY node"""
+
+    sql["doc_perplexity"] = f"""
+WITH {TOK_CTE},
+c AS (SELECT sum(cf)::DOUBLE AS c FROM ts),
+perdoc AS (
+  SELECT tc.doc_id, sum(tc.tf)::BIGINT AS dl,
+         sum(-(tc.tf::DOUBLE * ln(ts.cf::DOUBLE / (SELECT c FROM c)))) AS s
+  FROM tc JOIN ts USING (term) GROUP BY 1
+)
+SELECT doc_id, dl, round(s / dl::DOUBLE, 6) AS avg_nll,
+       round(exp(s / dl::DOUBLE), 6) AS ppl
+FROM perdoc"""
 
     sql["phrase_stats"] = f"""
 WITH {POSITIONS_CTE},
@@ -2969,4 +2990,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_varbyte": q_phrase_match_varbyte,
     "decontaminate": q_decontaminate,
     "dup_clusters": q_dup_clusters,
+    "doc_perplexity": q_doc_perplexity,
 }

@@ -118,3 +118,33 @@ def fingerprints(docs: DataFrame, k: int = 4, text_col: str = "text",
         F.array_max(hashed).alias("fp_max"),
         F.size(sh).cast("long").alias("n_shingles"),
     )
+
+
+def doc_perplexity(tc: DataFrame, tstats: DataFrame,
+                   collection_len: int) -> DataFrame:
+    """(doc_id, dl, avg_nll, ppl) — unigram cross-entropy quality
+    score: avg_nll = −(1/dl)·Σ_t tf·ln(cf_t/|C|), ppl = e^avg_nll.
+
+    The CCNet-style perplexity filter computed against the corpus's
+    OWN unigram distribution (an honest proxy — a trained KenLM drops
+    in by swapping the cf/|C| probability column): documents made of
+    globally-rare tokens score high (gibberish, OCR noise), heavily
+    templated text scores low; both tails are the filter targets.
+
+    Shape: tc ⨝ term dictionary on term (the dictionary rides the
+    same shuffle the index build already does — no broadcast needed
+    for a 10^9-term vocab, Spark picks the strategy by size), one
+    (doc_id) aggregation, map-side partial. No text re-scan: runs
+    entirely off the (doc_id, term, tf) relation."""
+    j = tc.join(tstats.select("term", "cf"), "term", "inner")
+    nll = -(F.col("tf").cast("double")
+            * F.log(F.col("cf").cast("double")
+                    / F.lit(float(collection_len))))
+    per_doc = (j.select("doc_id", F.col("tf").cast("long").alias("tf"),
+                        nll.alias("_nll"))
+               .groupBy("doc_id")
+               .agg(F.sum("tf").alias("dl"), F.sum("_nll").alias("_s")))
+    avg = F.col("_s") / F.col("dl").cast("double")
+    return per_doc.select("doc_id", "dl",
+                          F.round(avg, 6).alias("avg_nll"),
+                          F.round(F.exp(avg), 6).alias("ppl"))
