@@ -92,9 +92,11 @@ def bm25f_topk(tcf: DataFrame, dsf: DataFrame, qterms: DataFrame,
         F.countDistinct("doc_id").cast("long").alias("df"))
     qdict = F.broadcast(qterms.join(ts, "term", "inner"))
     adl = F.broadcast(field_avgdl(dsf, n_docs))
+    # a field absent from the weight map contributes 0 (explicitly —
+    # a NULL weight would silently null the whole doc's pseudo-tf)
     w_col = F.coalesce(
         *[F.when(F.col("field") == f, F.lit(float(w)))
-          for f, w in sorted(weights.items())])
+          for f, w in sorted(weights.items())], F.lit(0.0))
     hits = (tcf.join(qdict, "term", "inner")
             .join(dsf, ["doc_id", "field"], "inner")
             .join(adl, "field", "inner"))

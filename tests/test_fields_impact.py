@@ -91,3 +91,18 @@ def test_hit_counts_golden(spark):
     got = {r.qid: (r.n_any, r.n_all) for r in hit_counts(tc, q).collect()}
     assert got["q1"] == (3, 1)  # docs {1,2,3} match any; only doc 1 has both
     assert "q2" not in got      # nothing matches → no row
+
+
+def test_bm25f_unknown_field_weight_is_zero(spark, field_docs):
+    """A field missing from the weight map contributes zero, not NULL
+    (which would silently null the whole doc's pseudo-tf)."""
+    tcf = field_term_counts(field_docs)
+    dsf = field_doc_stats(tcf)
+    q = spark.createDataFrame([("q1", "zebra", 1)],
+                              "qid string, term string, qtf int")
+    got = sorted(bm25f_topk(tcf, dsf, q, n_docs=3, k=10,
+                            field_weights={"title": 2.0}).collect(),
+                 key=lambda r: r.rank)
+    # body weight 0 → the body-only zebra doc scores 0, title doc > 0
+    by_doc = {r.doc_id: r.score for r in got}
+    assert by_doc[1] > 0 and by_doc.get(2, 0.0) == 0.0
