@@ -638,6 +638,28 @@ def q_doc_perplexity(spark, sf_dir):
     return textstats.doc_perplexity(tc, ts, clen)
 
 
+CURATION_MIN_DL = 10
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The composed training-data curation pipeline, end to end:
+    exact+near dedup keep-set (q_dedup_kept) → benchmark
+    decontamination drop (q_decontaminate) → minimum-length quality
+    filter (dl ≥ CURATION_MIN_DL) → token-budget bin packing
+    (operators/packing.py). One gate proving the stages COMPOSE —
+    each stage is individually gated; this pins the hand-off contracts
+    (key types, survivor semantics) between them."""
+    from .operators.packing import pack_bins
+    kept = q_dedup_kept(spark, sf_dir)
+    contam = q_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    _tc, ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    survivors = (kept.join(contam, "doc_id", "left_anti")
+                 .join(ds.select("doc_id", "dl"), "doc_id", "inner")
+                 .where(F.col("dl") >= CURATION_MIN_DL))
+    return pack_bins(survivors.select("doc_id", "dl"),
+                     PACK_BUDGET, PACK_SHARDS)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Transitive dedup clusters: connected components over the
     shingle-Jaccard duplicate pairs (operators/clusters.py — iterative
@@ -1677,6 +1699,64 @@ perdoc AS (
 SELECT doc_id, dl, round(s / dl::DOUBLE, 6) AS avg_nll,
        round(exp(s / dl::DOUBLE), 6) AS ppl
 FROM perdoc"""
+
+    sql["curation_pipeline"] = f"""
+WITH {TOK_CTE},
+tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+sh3 AS (
+  SELECT DISTINCT doc_id, l[i] || '_' || l[i+1] || '_' || l[i+2] AS shingle
+  FROM tokl, unnest(generate_series(1, greatest(len(l) - 2, 0))) t(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+canon AS (SELECT md5(text) AS m, min(doc_id) AS keep FROM documents GROUP BY 1),
+kept AS (
+  SELECT d.doc_id FROM documents d
+  JOIN canon ON md5(d.text) = canon.m AND d.doc_id = canon.keep
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+),
+ev AS (
+  SELECT 'e7' AS eval_id, array_to_string(l[1:12], ' ') AS text
+  FROM tokl WHERE doc_id = 7
+  UNION ALL
+  SELECT 'e21', array_to_string(l[3:14], ' ') FROM tokl WHERE doc_id = 21
+  UNION ALL
+  SELECT 'e0', 'zz qq ww rr tt yy uu ii'
+),
+evl AS (SELECT eval_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM ev),
+evsh AS (SELECT DISTINCT eval_id, array_to_string(l[i:i+7], '_') AS shingle
+         FROM evl, unnest(generate_series(1, greatest(len(l) - 7, 0))) t(i)),
+dsh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], '_') AS shingle
+        FROM tokl, unnest(generate_series(1, greatest(len(l) - 7, 0))) t(i)),
+contam AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN evsh e USING (shingle)),
+surv AS (
+  SELECT ds.doc_id, ds.dl FROM ds
+  JOIN kept USING (doc_id)
+  WHERE ds.dl >= {CURATION_MIN_DL}
+    AND ds.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+psh AS (SELECT doc_id, dl,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                % {PACK_SHARDS})::INT AS shard
+        FROM surv),
+pc AS (SELECT doc_id, shard, dl,
+              coalesce(sum(dl) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+       FROM psh)
+SELECT doc_id, shard, (cum // {PACK_BUDGET})::BIGINT AS bin_id, dl FROM pc"""
 
     sql["phrase_stats"] = f"""
 WITH {POSITIONS_CTE},
@@ -2991,4 +3071,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "dup_clusters": q_dup_clusters,
     "doc_perplexity": q_doc_perplexity,
+    "curation_pipeline": q_curation_pipeline,
 }
