@@ -1072,6 +1072,16 @@ def q_embedding_topk(spark, sf_dir):
     return similarity.brute_topk(_emb(spark, sf_dir), n_queries=5, k=5)
 
 
+def q_embedding_filtered_topk(spark, sf_dir):
+    """Pre-filtered vector search: cosine top-5 over lang='en'
+    candidates only (operators/similarity.py filtered_brute_topk —
+    the vector-store metadata-filter feature; embeddings.vec_id
+    aligns with documents.doc_id by construction)."""
+    return similarity.filtered_brute_topk(
+        _emb(spark, sf_dir), _docs(spark, sf_dir), "lang", "en",
+        n_queries=5, k=5)
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=5, k=5, n_planes=8)
 
@@ -2772,6 +2782,20 @@ ranked AS (SELECT qid, vec_id, cos,
            FROM scored)
 SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5"""
 
+    sql["embedding_filtered_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+keepd AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings JOIN keepd ON keepd.doc_id = embeddings.vec_id),
+scored AS (
+  SELECT qid, vec_id, round(list_cosine_similarity(qv, cv), 4) AS cos
+  FROM q, c WHERE vec_id != qid
+),
+ranked AS (SELECT qid, vec_id, cos,
+                  (row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id))::INT AS rank
+           FROM scored)
+SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5"""
+
     bucket8 = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8))
     bucket4 = " + ".join(
@@ -3072,4 +3096,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
+    "embedding_filtered_topk": q_embedding_filtered_topk,
 }

@@ -193,3 +193,36 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                     F.round(cosine(F.col("p.a.v"), F.col("p.b.v")),
                             COS_DECIMALS).alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+def filtered_brute_topk(emb: DataFrame, meta: DataFrame, facet_col: str,
+                        facet_value: str, n_queries: int = 5, k: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Filtered vector search: exact cosine top-k over ONLY the
+    candidates whose metadata matches (`facet_col == facet_value`) —
+    the signature vector-store feature (pre-filtered ANN). Query
+    anchors (first `n_queries` ids) are NOT filtered.
+
+    The metadata predicate applies BEFORE the similarity math (pushed
+    to the metadata scan, then a doc_id semi-join on the vector side),
+    so at selectivity s only s·N vectors ever reach the dot product —
+    the pre-filter strategy; a post-filter twin would instead deepen k.
+    The same predicate composes with the IVF/LSH bucketed paths by
+    semi-joining their candidate sets."""
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    keep = (meta.where(F.col(facet_col) == F.lit(facet_value))
+            .select(F.col("doc_id").alias(id_col)))
+    c = (emb.join(keep, id_col, "leftsemi")
+         .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id",
+                F.round(cosine(F.col("qv"), F.col("cv")),
+                        COS_DECIMALS).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "rank", "cos"))

@@ -72,3 +72,21 @@ def test_lsh_candidates_bucket_cap_subset(docs):
     uncapped = set(_pairs(dedup.lsh_candidates(docs, n=3)))
     capped = set(_pairs(dedup.lsh_candidates(docs, n=3, max_bucket_size=3)))
     assert capped <= uncapped
+
+
+def test_filtered_brute_topk_prefilter(spark):
+    """Metadata pre-filter: only matching candidates are ranked; the
+    unfiltered winner disappears when its facet doesn't match."""
+    from search_engine_spark.operators.similarity import (brute_topk,
+                                                          filtered_brute_topk)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.5, 0.5]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    meta = spark.createDataFrame(
+        [(0, "en"), (1, "de"), (2, "en"), (3, "en")],
+        "doc_id long, lang string")
+    full = brute_topk(emb, n_queries=1, k=3).collect()
+    assert full[0].vec_id == 1  # closest overall
+    got = filtered_brute_topk(emb, meta, "lang", "en",
+                              n_queries=1, k=3).collect()
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == [2, 3]
