@@ -1154,6 +1154,56 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir), k=4).where(F.col("n_shingles") > 0)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc — zero-shuffle
+    sorted-array fold (operators/textstats.py::repetition_stats)."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Regex PII redaction with per-pattern counts. The corpus is
+    synthetic words-only text, so deterministic PII (an email, an IPv4,
+    a phone number, all derived from doc_id) is injected first in BOTH
+    engines — the gate value-checks real matches, not a no-op pass."""
+    from .operators.scrub import scrub_pii
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), d.cast("string"),
+            F.lit("@example.com from 10."), (d % 256).cast("string"),
+            F.lit(".0."), (d % 100).cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("text"))
+    return scrub_pii(synth)
+
+
+def q_conv_context(spark, sf_dir):
+    """Conversation-context retrieval: BM25 top-10 per query over the
+    transcripts framing of the corpus (conv_id = doc_id div 4,
+    turn_idx = doc_id % 4 — deterministic, SQL-reproducible), each hit
+    joined with its previous/next turn's text via the broadcast
+    semi-join in operators/context.py (corpus scanned exactly once)."""
+    from .operators.context import turn_context
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    hits = (bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+            .withColumn("conv_id", F.expr("doc_id div 4"))
+            .withColumn("turn_idx", (F.col("doc_id") % 4).cast("int")))
+    turns = _docs(spark, sf_dir).select(
+        F.expr("doc_id div 4").alias("conv_id"),
+        (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+        "text")
+    return turn_context(hits, turns).select(
+        "qid", "doc_id", "rank", "score", "conv_id", "turn_idx",
+        "prev_text", "next_text")
+
+
 def _qrels(spark, sf_dir):
     """Deterministic synthetic relevance judgments shared with the
     DuckDB oracle: doc is relevant to qid iff
@@ -2950,6 +3000,83 @@ sh AS (
 SELECT doc_id, min(hsh) AS fp_min, max(hsh) AS fp_max, count(*)::BIGINT AS n_shingles
 FROM sh GROUP BY doc_id"""
 
+    sql["repetition_stats"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+uni AS (
+  SELECT doc_id, max(c) AS top1 FROM (
+    SELECT doc_id, count(*) AS c FROM tokl, unnest(l) AS t(tok)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, count(*) AS c FROM (
+      SELECT doc_id, l[i] || '_' || l[i+1] AS g
+      FROM tokl, unnest(generate_series(1, greatest(len(l)-1, 0))) t(i)
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+tg AS (
+  SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS n_tg_d FROM (
+    SELECT doc_id, l[i] || '_' || l[i+1] || '_' || l[i+2] AS g
+    FROM tokl, unnest(generate_series(1, greatest(len(l)-2, 0))) t(i)
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(l)::BIGINT AS n_tokens,
+       coalesce(uni.top1, 0)::BIGINT AS top_unigram,
+       coalesce(big.top2, 0)::BIGINT AS top_bigram,
+       round(CASE WHEN len(l) > 0 THEN coalesce(uni.top1, 0)::DOUBLE / len(l) ELSE 0.0 END, 6) AS top_unigram_frac,
+       round(CASE WHEN len(l) >= 2 THEN coalesce(big.top2, 0)::DOUBLE / (len(l) - 1) ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN len(l) >= 3 THEN 1.0 - coalesce(tg.n_tg_d, 0)::DOUBLE / coalesce(tg.n_tg, 1) ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM tokl t
+LEFT JOIN uni USING (doc_id) LEFT JOIN big USING (doc_id)
+LEFT JOIN tg USING (doc_id)"""
+
+    _pii_email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    _pii_ip = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    _pii_phone = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+    sql["pii_scrub"] = f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com from 10.'
+              || (doc_id % 256) || '.0.' || (doc_id % 100)
+              || ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+              || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_pii_email}'))::BIGINT AS n_email,
+         regexp_replace(text, '{_pii_email}', '<EMAIL>', 'g') AS t1
+  FROM synth
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{_pii_ip}'))::BIGINT AS n_ipv4,
+         regexp_replace(t1, '{_pii_ip}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_email, n_ipv4,
+       len(regexp_extract_all(t2, '{_pii_phone}'))::BIGINT AS n_phone,
+       regexp_replace(t2, '{_pii_phone}', '<PHONE>', 'g') AS text
+FROM s2"""
+
+    sql["conv_context"] = f"""
+WITH {_bm25_ctes()},
+h10 AS (
+  SELECT qid, doc_id, rank, score,
+         doc_id // 4 AS conv_id, (doc_id % 4)::INT AS turn_idx
+  FROM ranked WHERE rank <= 10
+)
+SELECT h.qid, h.doc_id, h.rank, h.score, h.conv_id, h.turn_idx,
+       p.text AS prev_text, nx.text AS next_text
+FROM h10 h
+LEFT JOIN documents p ON p.doc_id = h.doc_id - 1 AND h.turn_idx > 0
+LEFT JOIN documents nx ON nx.doc_id = h.doc_id + 1 AND h.turn_idx < 3"""
+
     sql["sessionize"] = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
@@ -3097,4 +3224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "conv_context": q_conv_context,
 }

@@ -120,6 +120,63 @@ def fingerprints(docs: DataFrame, k: int = 4, text_col: str = "text",
     )
 
 
+def _max_run(sorted_arr):
+    """Longest run of equal adjacent elements in an already-sorted
+    array — i.e. the max multiplicity of any element — as a single
+    O(n) aggregate fold. Zero-shuffle alternative to explode+groupBy:
+    the repetition profile of a doc never leaves its scan partition."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def merge(acc, v):
+        run = F.when(v == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(v.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style per-doc repetition signals (Rae et al. 2021 §A1.1):
+    top_unigram_frac (fraction of tokens that are the single most
+    frequent token), top_bigram_frac (same for bigrams), and
+    dup_trigram_frac (fraction of trigram occurrences that are
+    duplicates). Heavily templated / looping text — the classic
+    model-collapse failure mode in training corpora — spikes all three.
+
+    Scale shape: pure JVM column expressions, no explode, no shuffle —
+    max-multiplicity is computed as the longest equal-run of the
+    SORTED token/bigram array (`_max_run`), so a 10^12-turn corpus
+    pays one codegen'd scan and nothing else. The DuckDB oracle uses
+    the equivalent unnest+groupBy formulation."""
+    toks = tokens_col(text_col)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       toks.alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
+    from .dedup import _shingles_from
+    bg = _shingles_from(t, 2)
+    tg = _shingles_from(t, 3)
+    top1 = _max_run(F.array_sort(t))
+    top2 = _max_run(F.array_sort(bg))
+    n_tg = F.size(tg)
+    n_tg_d = F.size(F.array_distinct(tg))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, top1).otherwise(0).cast("long").alias("top_unigram"),
+        F.when(n >= 2, top2).otherwise(0).cast("long").alias("top_bigram"),
+        F.round(F.when(n > 0, top1.cast("double") / n).otherwise(0.0), 6)
+         .alias("top_unigram_frac"),
+        F.round(F.when(n >= 2, top2.cast("double") / (n - 1)).otherwise(0.0), 6)
+         .alias("top_bigram_frac"),
+        F.round(F.when(n >= 3,
+                       1.0 - n_tg_d.cast("double") / n_tg).otherwise(0.0), 6)
+         .alias("dup_trigram_frac"),
+    )
+
+
 def doc_perplexity(tc: DataFrame, tstats: DataFrame,
                    collection_len: int) -> DataFrame:
     """(doc_id, dl, avg_nll, ppl) — unigram cross-entropy quality
