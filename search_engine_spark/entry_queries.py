@@ -1204,6 +1204,43 @@ def q_conv_context(spark, sf_dir):
         "prev_text", "next_text")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Token-window chunking (32-token windows, 8-token overlap) — the
+    RAG/embedding prep step (operators/chunking.py, zero-shuffle)."""
+    from .operators.chunking import chunk_docs
+    return chunk_docs(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+def q_hybrid_topk(spark, sf_dir):
+    """Dense+sparse hybrid retrieval: BM25 top-50 fused with
+    embedding-cosine top-50 (query vector for qNNN = embeddings row
+    NNN-1; embeddings.vec_id aligns with documents.doc_id) by convex
+    min-max score fusion (operators/fusion.py::hybrid_fuse, α=0.5)."""
+    from pyspark.sql.window import Window
+    from .operators.fusion import hybrid_fuse
+    from .operators.similarity import COS_DECIMALS, cosine
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    sparse = (bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=50)
+              .select("qid", "doc_id", "score"))
+    emb = _emb(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        [(qid, int(qid[1:]) - 1) for qid, _ in QUERY_SET],
+        "qid string, vec_id long")
+    qv = (emb.join(F.broadcast(qmap), "vec_id")
+          .select("qid", F.col("embedding").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("cv"))
+    dn0 = (c.crossJoin(F.broadcast(qv))
+           .select("qid", "doc_id",
+                   F.round(cosine(F.col("qv"), F.col("cv")),
+                           COS_DECIMALS).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    dense = (dn0.withColumn("r", F.row_number().over(w))
+             .where(F.col("r") <= 50).select("qid", "doc_id", "score"))
+    return hybrid_fuse(sparse, dense, alpha=0.5, k=10)
+
+
 def _qrels(spark, sf_dir):
     """Deterministic synthetic relevance judgments shared with the
     DuckDB oracle: doc is relevant to qid iff
@@ -3077,6 +3114,57 @@ FROM h10 h
 LEFT JOIN documents p ON p.doc_id = h.doc_id - 1 AND h.turn_idx > 0
 LEFT JOIN documents nx ON nx.doc_id = h.doc_id + 1 AND h.turn_idx < 3"""
 
+    sql["chunk_docs"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+ch AS (
+  SELECT doc_id, s, list_slice(l, s, least(s + 31, len(l))) AS w
+  FROM tokl, unnest(generate_series(1, greatest(len(l) - 8, 1), 24)) t(s)
+  WHERE len(l) > 0
+)
+SELECT doc_id,
+       ((s - 1) // 24)::INT AS chunk_idx,
+       s::INT AS start_tok,
+       len(w)::BIGINT AS n_chunk_tokens,
+       array_to_string(w, ' ') AS chunk_text
+FROM ch"""
+
+    _qmap_values = ", ".join(f"('{qid}', {int(qid[1:]) - 1})"
+                             for qid, _ in QUERY_SET)
+    sql["hybrid_topk"] = f"""
+WITH {_bm25_ctes()},
+sp AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= 50),
+qm(qid, vid) AS (VALUES {_qmap_values}),
+qv AS (SELECT qm.qid, e.embedding::DOUBLE[] AS qv
+       FROM qm JOIN embeddings e ON e.vec_id = qm.vid),
+dn0 AS (SELECT qv.qid, e.vec_id AS doc_id,
+               round(list_cosine_similarity(qv.qv, e.embedding::DOUBLE[]), 4) AS score
+        FROM qv, embeddings e),
+dn AS (SELECT qid, doc_id, score FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+         FROM dn0) WHERE r <= 50),
+spn AS (SELECT qid, doc_id,
+               CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 0.0 END AS s_norm
+        FROM (SELECT qid, doc_id, score,
+                     min(score) OVER (PARTITION BY qid) AS mn,
+                     max(score) OVER (PARTITION BY qid) AS mx FROM sp)),
+dnn AS (SELECT qid, doc_id,
+               CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 0.0 END AS d_norm
+        FROM (SELECT qid, doc_id, score,
+                     min(score) OVER (PARTITION BY qid) AS mn,
+                     max(score) OVER (PARTITION BY qid) AS mx FROM dn)),
+hy AS (SELECT coalesce(spn.qid, dnn.qid) AS qid,
+              coalesce(spn.doc_id, dnn.doc_id) AS doc_id,
+              round(0.5 * coalesce(s_norm, 0.0)
+                    + 0.5 * coalesce(d_norm, 0.0), 6) AS score
+       FROM spn FULL OUTER JOIN dnn
+         ON spn.qid = dnn.qid AND spn.doc_id = dnn.doc_id)
+SELECT qid, doc_id, rank, score FROM (
+  SELECT qid, doc_id, score,
+         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+  FROM hy) WHERE rank <= 10"""
+
     sql["sessionize"] = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
@@ -3227,4 +3315,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "conv_context": q_conv_context,
+    "chunk_docs": q_chunk_docs,
+    "hybrid_topk": q_hybrid_topk,
 }

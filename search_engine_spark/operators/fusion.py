@@ -55,6 +55,43 @@ def rrf_fuse(runs: list[DataFrame], k: int = TOP_K_DEFAULT,
     return _topk(scored, k)
 
 
+def hybrid_fuse(sparse: DataFrame, dense: DataFrame, alpha: float = 0.5,
+                k: int = TOP_K_DEFAULT) -> DataFrame:
+    """(qid, doc_id, rank, score) — convex min-max score fusion of a
+    sparse (BM25) and a dense (embedding-cosine) run, the standard
+    hybrid-retrieval combiner when calibrated scores (not just ranks)
+    should matter: each run is min-max normalized per qid over its own
+    candidates, then score = α·sparse_norm + (1−α)·dense_norm over the
+    UNION of both candidate sets (a doc absent from one run contributes
+    0 for that channel — the run-fusion convention; its true channel
+    score is unknown below the run's cutoff).
+
+    Inputs are (qid, doc_id, score) runs already cut to top-N per qid,
+    so everything here is qids × 2N rows — the corpus is never touched.
+    α = 0.5 default is exactly representable, keeping the arithmetic
+    bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    def _minmax(run: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("qid")
+        mn = F.min("score").over(w)
+        mx = F.max("score").over(w)
+        return run.select(
+            "qid", "doc_id",
+            F.when(mx > mn, (F.col("score") - mn) / (mx - mn))
+             .otherwise(F.lit(0.0)).alias(out))
+
+    s = _minmax(sparse, "s_norm")
+    d = _minmax(dense, "d_norm")
+    j = s.join(d, ["qid", "doc_id"], "full_outer")
+    combined = j.select(
+        "qid", "doc_id",
+        (F.lit(float(alpha)) * F.coalesce("s_norm", F.lit(0.0))
+         + F.lit(1.0 - float(alpha)) * F.coalesce("d_norm", F.lit(0.0)))
+        .alias("score"))
+    return _topk(combined, k)
+
+
 def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
                       rates: dict[str, float],
                       default_rate: float = 0.0) -> DataFrame:
