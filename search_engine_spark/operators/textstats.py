@@ -154,15 +154,24 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        toks.alias("_toks"))
     t = F.col("_toks")
-    n = F.size(t)
     from .dedup import _shingles_from
-    bg = _shingles_from(t, 2)
     tg = _shingles_from(t, 3)
-    top1 = _max_run(F.array_sort(t))
-    top2 = _max_run(F.array_sort(bg))
-    n_tg = F.size(tg)
-    n_tg_d = F.size(F.array_distinct(tg))
-    return base.select(
+    # stage the expensive folds once — CollapseProject keeps the two
+    # projections separate because these aliases are non-cheap and
+    # referenced more than once downstream (otherwise each sort+fold
+    # would be re-inlined and computed twice per row)
+    staged = base.select(
+        "doc_id",
+        F.size(t).alias("_n"),
+        _max_run(F.array_sort(t)).alias("_top1"),
+        _max_run(F.array_sort(_shingles_from(t, 2))).alias("_top2"),
+        F.size(tg).alias("_n_tg"),
+        F.size(F.array_distinct(tg)).alias("_n_tg_d"),
+    )
+    n = F.col("_n")
+    top1 = F.col("_top1")
+    top2 = F.col("_top2")
+    return staged.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.when(n > 0, top1).otherwise(0).cast("long").alias("top_unigram"),
@@ -172,7 +181,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         F.round(F.when(n >= 2, top2.cast("double") / (n - 1)).otherwise(0.0), 6)
          .alias("top_bigram_frac"),
         F.round(F.when(n >= 3,
-                       1.0 - n_tg_d.cast("double") / n_tg).otherwise(0.0), 6)
+                       1.0 - F.col("_n_tg_d").cast("double") / F.col("_n_tg"))
+                 .otherwise(0.0), 6)
          .alias("dup_trigram_frac"),
     )
 
