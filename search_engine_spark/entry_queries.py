@@ -1589,6 +1589,68 @@ def q_sessionize_stream(spark, sf_dir):
     return res
 
 
+def q_window_counts_stream(spark, sf_dir):
+    """STREAMING watermarked windowed-aggregate value gate: exact
+    6-hour tumbling-window counts + value sums per event_type
+    (streaming/index_stream.py::windowed_event_counts) over
+    events.parquet replayed as 3 time-ordered micro-batches plus a
+    final sentinel batch (one event 1 day past the corpus max ts).
+    The sentinel advances the watermark past every real window's end,
+    so append mode emits ALL real windows exactly once; the sentinel's
+    own window stays open and is withheld. The emitted stream must
+    equal the batch tumbling-window aggregate — gated by the SQL
+    oracle. Proves watermark-driven window finalization through the
+    driver contract, not just pytest."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from .streaming.index_stream import windowed_event_counts
+    key = (spark.sparkContext.applicationId, sf_dir, "window_counts_stream")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.orderBy("ts", "event_id")
+    evr = ev.withColumn("_rn", F.row_number().over(w))
+    n = evr.count()
+    root = tempfile.mkdtemp(prefix="segspark_wins_")
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    for i, (lo, hi) in enumerate(cuts):
+        (evr.where((F.col("_rn") > lo) & (F.col("_rn") <= hi)).drop("_rn")
+         .coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}"))
+    sentinel = (ev.agg(F.max("ts").alias("ts"))
+                .select(F.lit(-1).cast("long").alias("event_id"),
+                        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+                        F.lit(-1).cast("long").alias("user_id"),
+                        F.lit("flush").alias("event_type"),
+                        F.lit(0.0).alias("value"),
+                        F.lit(None).cast("string").alias("props"))
+                .select(*ev.columns))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk3")
+    base = 1_000_000_000
+    for i in range(4):
+        d = f"{root}/chunk{i}"
+        for fn in sorted(_os.listdir(d)):
+            _os.utime(_os.path.join(d, fn), (base + 10 * i, base + 10 * i))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    qn = "win_counts_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    q = (windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+         .writeStream.format("memory").queryName(qn)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", f"{root}/_ckpt").start())
+    q.awaitTermination(300)
+    res = spark.table(qn).select("window_start", "event_type", "n",
+                                 "sum_value")
+    _CORPUS_CACHE[key] = res
+    return res
+
+
 # ---------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------
@@ -3165,6 +3227,17 @@ SELECT qid, doc_id, rank, score FROM (
          (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
   FROM hy) WHERE rank <= 10"""
 
+    # streaming windowed agg ≡ batch tumbling windows (6 h = 21600 s);
+    # Spark's F.window is epoch-aligned, so floor-division on epoch_us
+    # reproduces window_start exactly
+    sql["window_counts_stream"] = """
+SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT AS window_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
     sql["sessionize"] = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
@@ -3317,4 +3390,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_context": q_conv_context,
     "chunk_docs": q_chunk_docs,
     "hybrid_topk": q_hybrid_topk,
+    "window_counts_stream": q_window_counts_stream,
 }

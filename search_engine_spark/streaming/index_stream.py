@@ -119,6 +119,34 @@ class IncrementalIndexer:
                 "term_stats": term_stats(tc), "index": idx}
 
 
+def windowed_event_counts(stream: DataFrame, window: str = "6 hours",
+                          watermark: str = "1 hour",
+                          key_col: str = "event_type",
+                          ts_col: str = "ts",
+                          val_col: str | None = "value") -> DataFrame:
+    """EXACT event-time tumbling-window counts (+ value sum) per key —
+    the oracle-checkable twin of `windowed_turn_counts` (which uses
+    approx_count_distinct and so can only be sanity-tested). State for
+    windows older than the watermark is dropped: bounded memory no
+    matter how long the stream runs; in append mode a window is emitted
+    exactly once, when the watermark passes its end."""
+    aggs = [F.count("*").cast("long").alias("n")]
+    out_cols = ["n"]
+    if val_col is not None:
+        aggs.append(F.round(F.sum(val_col), 4).alias("sum_value"))
+        out_cols.append("sum_value")
+    # watermarks require TIMESTAMP (LTZ); parquet event times arrive as
+    # TIMESTAMP_NTZ. The session tz is pinned to UTC (session.py), so
+    # the cast preserves the epoch instant exactly (oracle parity).
+    return (stream
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("w"), key_col)
+            .agg(*aggs)
+            .select(F.col("w.start").cast("long").alias("window_start"),
+                    key_col, *out_cols))
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "10 minutes",
                          watermark: str = "30 minutes") -> DataFrame:
     """Event-time tumbling-window per-role turn counts with a watermark

@@ -171,3 +171,57 @@ def test_stateful_sessionize_out_of_order_late_event(spark, tmp_path):
     base = int(t(0).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
     assert got == [("u1", base + 900 * 1_000_000, base + 1100 * 1_000_000,
                     3, 7.0)]
+
+
+def test_windowed_event_counts_exact_with_sentinel(spark, tmp_path):
+    """windowed_event_counts in append mode emits exactly the batch
+    tumbling-window aggregate once a sentinel advances the watermark
+    past every real window (the window_counts_stream gate mechanism),
+    and the sentinel's own open window is withheld."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from search_engine_spark.streaming.index_stream import windowed_event_counts
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(minute, typ, val):
+        return (t0 + dt.timedelta(minutes=minute), typ, val)
+
+    batches = [
+        [ev(0, "a", 1.0), ev(5, "b", 2.0), ev(12, "a", 3.0)],
+        [ev(21, "a", 4.0), ev(25, "b", 5.0)],
+        # sentinel: 1 day later, watermark (10 min) passes all windows
+        [ev(24 * 60, "flush", 0.0)],
+    ]
+    root = tmp_path / "src"
+    root.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        d = str(root / f"chunk{i}")
+        df.write.mode("overwrite").parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1_000_000_000 + 10 * i,) * 2)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(root / "chunk*")))
+    q = (windowed_event_counts(stream, window="10 minutes",
+                               watermark="10 minutes")
+         .writeStream.format("memory").queryName("win_exact")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    got = {(r.window_start, r.event_type): (r.n, r.sum_value)
+           for r in spark.table("win_exact").collect()}
+    base = int(t0.timestamp())
+    assert got == {
+        (base, "a"): (1, 1.0), (base, "b"): (1, 2.0),
+        (base + 600, "a"): (1, 3.0),
+        (base + 1200, "a"): (1, 4.0), (base + 1200, "b"): (1, 5.0),
+    }  # the sentinel's own window is NOT emitted
