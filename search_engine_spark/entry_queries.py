@@ -1100,6 +1100,14 @@ def q_embedding_dup_pairs(spark, sf_dir):
                                           n_planes=4, max_bucket_size=10_000)
 
 
+def q_kmeans_cells(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means training for IVF (2 iterations,
+    8 cells, deterministic init) — similarity.py::kmeans_train; the
+    centroids come out EXPLODED to scalar (cell, pos, cval) rows plus
+    final member counts, all oracle-compared."""
+    return similarity.kmeans_train(_emb(spark, sf_dir), n_cells=8, n_iters=2)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@k of the IVF ANN path against the exact brute-force
     top-k — the metric that justifies shipping an approximate index at
@@ -3227,6 +3235,37 @@ SELECT qid, doc_id, rank, score FROM (
          (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
   FROM hy) WHERE rank <= 10"""
 
+    # fixed-iteration Lloyd k-means: assignment rounds cos to 4dp,
+    # update rounds each mean component to 6dp — both engines feed the
+    # next iteration bit-identical centroids
+    sql["kmeans_cells"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id::INT AS cell, v AS centv FROM v WHERE vec_id < 8),
+s1 AS (SELECT v.vec_id, v.v, c0.cell,
+              round(list_cosine_similarity(v.v, c0.centv), 4) AS cos
+       FROM v, c0),
+a1 AS (SELECT vec_id, v, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell) AS rn
+         FROM s1) WHERE rn = 1),
+c1 AS (SELECT cell, list(cval ORDER BY pos) AS centv FROM (
+         SELECT cell, i - 1 AS pos, round(avg(v[i]), 6) AS cval
+         FROM a1, unnest(generate_series(1, len(v))) t(i)
+         GROUP BY cell, i) GROUP BY cell),
+s2 AS (SELECT v.vec_id, v.v, c1.cell,
+              round(list_cosine_similarity(v.v, c1.centv), 4) AS cos
+       FROM v, c1),
+a2 AS (SELECT vec_id, v, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell) AS rn
+         FROM s2) WHERE rn = 1),
+c2 AS (SELECT cell, i - 1 AS pos, round(avg(v[i]), 6) AS cval
+       FROM a2, unnest(generate_series(1, len(v))) t(i)
+       GROUP BY cell, i),
+m AS (SELECT cell, count(*)::BIGINT AS n_members FROM a2 GROUP BY cell)
+SELECT c2.cell, c2.pos::INT AS pos, c2.cval, m.n_members
+FROM c2 JOIN m USING (cell)"""
+
     # streaming windowed agg ≡ batch tumbling windows (6 h = 21600 s);
     # Spark's F.window is epoch-aligned, so floor-division on epoch_us
     # reproduces window_start exactly
@@ -3391,4 +3430,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "hybrid_topk": q_hybrid_topk,
     "window_counts_stream": q_window_counts_stream,
+    "kmeans_cells": q_kmeans_cells,
 }

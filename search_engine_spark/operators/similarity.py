@@ -123,6 +123,59 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8,
             .select("vec_id", "cell", "cell_cos"))
 
 
+def kmeans_train(emb: DataFrame, n_cells: int = 8, n_iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 decimals: int = 6) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means — the seeded IVF
+    "training" step the ivf_assign docstring promises (init: the first
+    `n_cells` vectors; assignment: argmax round(cos,4), ties → lower
+    cell; update: per-component mean rounded to `decimals`, which pins
+    every iteration's input bit-identically across engines).
+
+    Output: (cell, pos, cval, n_members) — centroids EXPLODED to
+    scalar (cell, component) rows so the oracle hash-compares without
+    array-typed columns. Cells that attract no vectors in the final
+    assignment drop out (documented Lloyd behavior with fixed init).
+
+    Scale shape per iteration: one broadcast nested-loop (corpus ×
+    centroids — the IVF coarse pass itself), one per-vector argmax,
+    and one map-side-combinable (cell, pos) average; the corpus is
+    never shuffled, only the K×dim aggregate is. Iterations are a
+    driver-side Python loop over DataFrame plans (no collect of
+    vectors; only the centroid table, K×dim rows, materializes)."""
+    v = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    cent = v.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("centv"))
+    assign = None
+    for _ in range(n_iters):
+        scored = (v.crossJoin(F.broadcast(cent))
+                  .select("vec_id", "v", "cell",
+                          F.round(cosine(F.col("v"), F.col("centv")),
+                                  COS_DECIMALS).alias("cos")))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+        assign = (scored.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).select("vec_id", "v", "cell"))
+        comp = assign.select("cell", F.posexplode("v").alias("pos", "x"))
+        cent = (comp.groupBy("cell", "pos")
+                .agg(F.round(F.avg("x"), decimals).alias("cval"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "cval")))
+                      .alias("_pc"))
+                .select("cell", F.transform("_pc", lambda s: s["cval"])
+                        .alias("centv")))
+        # materialize the tiny centroid table so the next iteration's
+        # plan doesn't re-derive it (K × dim rows, never the corpus)
+        cent = cent.localCheckpoint(eager=True)
+    members = assign.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members"))
+    return (cent.select("cell", F.posexplode("centv").alias("pos", "cval"))
+            .join(F.broadcast(members), "cell")
+            .select("cell", F.col("pos").cast("int").alias("pos"),
+                    "cval", "n_members"))
+
+
 def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = 8,
              n_probe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

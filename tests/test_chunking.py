@@ -65,3 +65,22 @@ def test_hybrid_fuse_degenerate_channel(spark):
     assert out[1].score == 0.0
     assert abs(out[2].score - 0.5) < 1e-9  # dense max normalizes to 1
     assert out[3].score == 0.0
+
+
+def test_kmeans_train_hand_checked(spark):
+    from search_engine_spark.operators.similarity import kmeans_train
+    # two tight clusters on orthogonal axes in 2-d; init = first 2 vecs
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (2, [0.9, 0.1]), (3, [0.1, 0.9]), (4, [0.8, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = kmeans_train(emb, n_cells=2, n_iters=2)
+    rows = {(r.cell, r.pos): r for r in out.collect()}
+    # cluster 0 = {0, 2, 4}; cluster 1 = {1, 3} in every iteration
+    assert rows[(0, 0)].n_members == 3 and rows[(1, 0)].n_members == 2
+    import math
+    # cell 0 centroid = mean of (1,0),(0.9,0.1),(0.8,0) rounded to 6dp
+    assert math.isclose(rows[(0, 0)].cval, 0.9, abs_tol=1e-9)
+    assert math.isclose(rows[(0, 1)].cval, round(0.1 / 3, 6), abs_tol=1e-9)
+    assert math.isclose(rows[(1, 0)].cval, 0.05, abs_tol=1e-9)
+    assert math.isclose(rows[(1, 1)].cval, 0.95, abs_tol=1e-9)
