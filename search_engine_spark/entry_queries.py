@@ -354,6 +354,24 @@ def q_bm25_topk_indexed(spark, sf_dir):
     return bm25_topk_from_index(idx, ds, q, n_docs, avgdl, k=10)
 
 
+def q_bm25_topk_delta(spark, sf_dir):
+    """LSM-style freshness: a MAIN index (doc_id % 5 != 0) and an
+    uncompacted DELTA index (doc_id % 5 == 0) built separately, served
+    together with serve-time global-df recompute
+    (operators/query.py::bm25_topk_union). Scores must equal the
+    monolithic index — gated by the exact same SQL oracle as
+    bm25_topk."""
+    from .operators.query import bm25_topk_union
+    tc, ds, _, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    is_delta = F.col("doc_id") % 5 == 0
+    idx_main = postings_blocked(tc.where(~is_delta), n_docs,
+                                salt_buckets=8, ds=ds.where(~is_delta))
+    idx_delta = postings_blocked(tc.where(is_delta), n_docs,
+                                 salt_buckets=8, ds=ds.where(is_delta))
+    return bm25_topk_union([idx_main, idx_delta], q, n_docs, avgdl, k=10)
+
+
 def q_wand_topk(spark, sf_dir):
     """Block-max pruned BM25 (operators/wand.py) — rank/score-identical
     to bm25_topk, gated by the same SQL oracle."""
@@ -1768,6 +1786,9 @@ SELECT term,
 FROM tc"""
 
     sql["bm25_topk"] = _bm25_sql(k=10)
+    # main+delta union serving must be indistinguishable from the
+    # monolithic index — same oracle by construction
+    sql["bm25_topk_delta"] = _bm25_sql(k=10)
     sql["bm25_topk_indexed"] = _bm25_sql(k=10)
     sql["wand_topk"] = _bm25_sql(k=10)
     sql["wand_topk_hybrid"] = _bm25_sql(k=10)
@@ -3431,4 +3452,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_topk": q_hybrid_topk,
     "window_counts_stream": q_window_counts_stream,
     "kmeans_cells": q_kmeans_cells,
+    "bm25_topk_delta": q_bm25_topk_delta,
 }

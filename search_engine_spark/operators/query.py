@@ -138,6 +138,54 @@ def bm25_topk_from_index(index: DataFrame, ds: DataFrame | None, qterms: DataFra
     return _topk(scored, k)
 
 
+def bm25_topk_union(indexes: list[DataFrame], qterms: DataFrame,
+                    n_docs: int, avgdl: float, k: int = TOP_K_DEFAULT,
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    ds: DataFrame | None = None) -> DataFrame:
+    """Serve BM25 across a committed MAIN index plus one or more
+    uncompacted DELTA indexes — the LSM-style freshness pattern: new
+    documents become searchable the moment their delta segment commits,
+    compaction (merge_blocked_indexes) happens asynchronously.
+
+    Correctness hinge: each segment's block rows carry its LOCAL df,
+    which would mis-weight idf; the global df per query term is
+    re-derived at serve time as the sum of the segments' per-term dfs
+    (one tiny distinct per segment — query-term rows only — never the
+    postings). n_docs/avgdl are the caller's GLOBAL corpus stats, so
+    the result is identical to serving one monolithic index over the
+    union corpus (which is exactly what the gate checks).
+
+    Segments must cover disjoint doc-id sets (same contract as
+    merge_blocked_indexes); an overlapping doc would double-score.
+
+    Scale shape: per segment, one broadcast semi-join prunes to query-
+    term blocks before any explode; the unioned flat rows then score
+    through bm25_topk_from_flat (shared top-k path)."""
+    if not indexes:
+        raise ValueError("bm25_topk_union needs at least one index")
+    qt_terms = qterms.select("term").distinct()
+    df_parts, flat_parts = [], []
+    for idx in indexes:
+        h = idx.join(F.broadcast(qt_terms), "term", "left_semi")
+        df_parts.append(h.select("term", "df").distinct())
+        has_dl = "dl" in idx.schema["postings"].dataType.elementType.fieldNames()
+        cols = [F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf")]
+        if has_dl:
+            cols.append(F.col("p.dl").alias("dl"))
+        flat_parts.append(
+            h.select("term", F.explode("postings").alias("p"))
+             .select("term", *cols))
+    gdf = df_parts[0]
+    for p in df_parts[1:]:
+        gdf = gdf.unionByName(p)
+    gdf = gdf.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    flat = flat_parts[0]
+    for p in flat_parts[1:]:
+        flat = flat.unionByName(p, allowMissingColumns=False)
+    flat = flat.join(F.broadcast(gdf), "term")
+    return bm25_topk_from_flat(flat, ds, qterms, n_docs, avgdl, k, k1, b)
+
+
 def bm25_topk_from_flat(flat: DataFrame, ds: DataFrame | None, qterms: DataFrame,
                         n_docs: int, avgdl: float, k: int = TOP_K_DEFAULT,
                         k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:

@@ -69,3 +69,35 @@ def test_explode_blocked_roundtrip(spark, tiny_corpus):
     got = {(r.doc_id, r.term, r.tf) for r in explode_blocked(idx).collect()}
     want = {(r.doc_id, r.term, r.tf) for r in tc.collect()}
     assert got == want
+
+
+def test_bm25_union_serving_equals_monolithic(spark, tiny_corpus):
+    """Main+delta union serving with serve-time global-df recompute is
+    rank- and score-identical to one monolithic index (the LSM
+    freshness pattern bm25_topk_delta gates against the SQL oracle)."""
+    from pyspark.sql import functions as F
+    from search_engine_spark.functions.tokenize import term_counts
+    from search_engine_spark.operators.index_build import (doc_stats,
+                                                           postings_blocked)
+    from search_engine_spark.operators.query import (bm25_topk_from_index,
+                                                     bm25_topk_union,
+                                                     query_terms_df)
+    tw, _ = tiny_corpus
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    n = tw.count()
+    avgdl = float(ds.agg(F.avg("dl")).collect()[0][0])
+    q = query_terms_df(spark, [("q1", "a se to"), ("q2", "je na")])
+    mono = postings_blocked(tc, n, salt_buckets=4, ds=ds)
+    expected = {(r.qid, r.doc_id): (r.rank, r.score)
+                for r in bm25_topk_from_index(mono, None, q, n, avgdl,
+                                              k=10).collect()}
+    is_delta = F.col("doc_id") % 3 == 0
+    seg_a = postings_blocked(tc.where(~is_delta), n, salt_buckets=4,
+                             ds=ds.where(~is_delta))
+    seg_b = postings_blocked(tc.where(is_delta), n, salt_buckets=4,
+                             ds=ds.where(is_delta))
+    got = {(r.qid, r.doc_id): (r.rank, r.score)
+           for r in bm25_topk_union([seg_a, seg_b], q, n, avgdl,
+                                    k=10).collect()}
+    assert got == expected and len(got) > 0
