@@ -1180,6 +1180,14 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir), k=4).where(F.col("n_shingles") > 0)
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth checkpoints
+    (textstats.py::vocab_growth) — dictionary-size planning evidence
+    for the 100 TB build."""
+    tc, ds, _, n_docs, _ = _corpus(spark, sf_dir)
+    return textstats.vocab_growth(tc, ds, n_docs)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals per doc — zero-shuffle
     sorted-array fold (operators/textstats.py::repetition_stats)."""
@@ -3128,6 +3136,21 @@ sh AS (
 SELECT doc_id, min(hsh) AS fp_min, max(hsh) AS fp_max, count(*)::BIGINT AS n_shingles
 FROM sh GROUP BY doc_id"""
 
+    sql["vocab_growth"] = f"""
+WITH {TOK_CTE},
+first AS (SELECT term, min(doc_id) AS fd FROM tc GROUP BY term),
+ck(ck_pml) AS (VALUES (125), (250), (500), (1000)),
+x AS (SELECT ck_pml,
+             ceil(ck_pml * (SELECT count(*) FROM documents) / 1000.0)::BIGINT
+               AS n_docs_prefix
+      FROM ck),
+v AS (SELECT x.ck_pml, x.n_docs_prefix, count(*)::BIGINT AS vocab
+      FROM x JOIN first ON first.fd < x.n_docs_prefix GROUP BY 1, 2),
+nt AS (SELECT x.ck_pml, sum(ds.dl)::BIGINT AS n_tokens
+       FROM x JOIN ds ON ds.doc_id < x.n_docs_prefix GROUP BY 1)
+SELECT v.ck_pml, v.n_docs_prefix, nt.n_tokens, v.vocab
+FROM v JOIN nt USING (ck_pml)"""
+
     sql["repetition_stats"] = f"""
 WITH tokl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
@@ -3453,4 +3476,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_counts_stream": q_window_counts_stream,
     "kmeans_cells": q_kmeans_cells,
     "bm25_topk_delta": q_bm25_topk_delta,
+    "vocab_growth": q_vocab_growth,
 }

@@ -187,6 +187,39 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def vocab_growth(tc: DataFrame, ds: DataFrame, n_docs: int,
+                 fractions=(0.125, 0.25, 0.5, 1.0)) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: for each corpus prefix
+    (doc_id < ceil(f·N) at the given fractions), the prefix's total
+    token count and distinct-vocabulary size. V(n) ≈ K·n^β fit off
+    these checkpoints is how dictionary/term-bucket sizing is planned
+    before a 100 TB build — the curve is the evidence that the term
+    dictionary grows sublinearly and the broadcast dict lookup stays
+    broadcast-sized.
+
+    Shape: one groupBy(term) for first occurrence (map-side min), one
+    broadcast theta-join of the two tiny checkpoint tables — the
+    corpus relation is the already-reduced (doc, term, tf) tc, scanned
+    twice, never re-tokenized. Checkpoints are per-mille ints so both
+    engines materialize identical cut-offs."""
+    import math
+    spark = tc.sparkSession
+    cks = [(int(round(f * 1000)), int(math.ceil(f * n_docs)))
+           for f in fractions]
+    ckdf = spark.createDataFrame(cks, "ck_pml int, n_docs_prefix long")
+    first = tc.groupBy("term").agg(F.min("doc_id").alias("_fd"))
+    vocab = (first.join(F.broadcast(ckdf),
+                        F.col("_fd") < F.col("n_docs_prefix"))
+             .groupBy("ck_pml", "n_docs_prefix")
+             .agg(F.count("*").cast("long").alias("vocab")))
+    ntok = (ds.select("doc_id", "dl")
+            .join(F.broadcast(ckdf), F.col("doc_id") < F.col("n_docs_prefix"))
+            .groupBy("ck_pml")
+            .agg(F.sum("dl").cast("long").alias("n_tokens")))
+    return (vocab.join(ntok, "ck_pml")
+            .select("ck_pml", "n_docs_prefix", "n_tokens", "vocab"))
+
+
 def doc_perplexity(tc: DataFrame, tstats: DataFrame,
                    collection_len: int) -> DataFrame:
     """(doc_id, dl, avg_nll, ppl) — unigram cross-entropy quality
