@@ -325,7 +325,9 @@ def main() -> None:
              "embedding_topk", "embedding_lsh_topk",
              "text_quality", "token_counts", "sessionize",
              "bm25f_topk", "quantized_topk", "facet_counts",
-             "collapse_topk", "synonym_topk"]
+             "collapse_topk", "synonym_topk",
+             "repetition_stats", "pii_scrub", "conv_context",
+             "chunk_docs", "hybrid_topk"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
