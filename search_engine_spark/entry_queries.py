@@ -688,6 +688,17 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_dup_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank centrality over the shingle-Jaccard
+    duplicate-candidate graph (operators/clusters.py::pagerank — same
+    edges as `dup_clusters`, second graph algorithm): ranks the hub
+    copies a curation pass should inspect first. 3 rounds, d=0.85,
+    values rounded to 6dp for cross-engine float parity."""
+    from .operators.clusters import pagerank
+    edges = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return pagerank(edges, damping=0.85, n_iter=3)
+
+
 def q_phrase_match_varbyte(spark, sf_dir):
     """q_phrase_match served through the delta-gap + varbyte positional
     codec (functions/codec.py encode/decode_positions_udf): positions
@@ -1883,6 +1894,51 @@ walk(node, reach) AS (
   SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
 )
 SELECT node, min(reach)::BIGINT AS comp FROM walk GROUP BY node"""
+
+    sql["dup_pagerank"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ed AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+        UNION SELECT doc_b, doc_a FROM ed),
+deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM sym GROUP BY a),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+pr0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+pr1 AS (
+  SELECT d.node, d.deg,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.s, 0.0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT s.b AS node, sum(p.pr / p.deg) AS s
+    FROM sym s JOIN pr0 p ON p.node = s.a GROUP BY s.b) c USING (node)
+),
+pr2 AS (
+  SELECT d.node, d.deg,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.s, 0.0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT s.b AS node, sum(p.pr / p.deg) AS s
+    FROM sym s JOIN pr1 p ON p.node = s.a GROUP BY s.b) c USING (node)
+),
+pr3 AS (
+  SELECT d.node, d.deg,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.s, 0.0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT s.b AS node, sum(p.pr / p.deg) AS s
+    FROM sym s JOIN pr2 p ON p.node = s.a GROUP BY s.b) c USING (node)
+)
+SELECT node, round(pr, 6) AS pr FROM pr3"""
 
     sql["doc_perplexity"] = f"""
 WITH {TOK_CTE},
@@ -3465,6 +3521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_varbyte": q_phrase_match_varbyte,
     "decontaminate": q_decontaminate,
     "dup_clusters": q_dup_clusters,
+    "dup_pagerank": q_dup_pagerank,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

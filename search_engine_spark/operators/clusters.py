@@ -66,6 +66,54 @@ def connected_components(edges: DataFrame, a: str = "doc_a",
         "(graph diameter exceeds the bound; raise max_iter)")
 
 
+def pagerank(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
+             damping: float = 0.85, n_iter: int = 3) -> DataFrame:
+    """(node, pr) — fixed-iteration PageRank over the undirected dup
+    graph: pr ← (1-d)/N + d·Σ_{u∈nbr(v)} pr(u)/deg(u).
+
+    Centrality over the duplicate-candidate graph ranks the HUB copies
+    (the boilerplate a million near-dups point at) — the doc a curation
+    pipeline wants to inspect first, complementing the min-label
+    keep-policy of `connected_components` (same edges, second
+    algorithm). Fixed n_iter (not convergence-tested) keeps the result
+    deterministic and lets the DuckDB oracle unroll the same number of
+    rounds exactly.
+
+    Scale shape: state is one (node, deg, pr) row per node in the dup
+    graph — the duplicated subset, not the corpus. Each round is one
+    equi-join keyed by source node (max reducer load = max degree) and
+    one map-side-combined sum keyed by destination; `localCheckpoint`
+    truncates lineage so the plan stays constant-size across rounds.
+    N is a single driver scalar (one count job)."""
+    e = (edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+         .where(F.col("a") != F.col("b")))
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    deg = sym.groupBy("a").agg(F.count("*").cast("double").alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("a").alias("node"),
+                          F.lit(0.0).alias("pr")).limit(0)
+    base = F.lit((1.0 - damping) / n)
+    pr = (deg.select(F.col("a").alias("node"), "deg",
+                     F.lit(1.0 / n).alias("pr"))
+          .localCheckpoint())
+    for _ in range(int(n_iter)):
+        shares = pr.select(F.col("node").alias("a"),
+                           (F.col("pr") / F.col("deg")).alias("share"))
+        contrib = (sym.join(shares, "a")
+                   .groupBy("b").agg(F.sum("share").alias("s")))
+        pr = (pr.select("node", "deg")
+              .join(contrib.select(F.col("b").alias("node"), "s"),
+                    "node", "left")
+              .select("node", "deg",
+                      (base + F.lit(damping)
+                       * F.coalesce("s", F.lit(0.0))).alias("pr"))
+              .localCheckpoint())
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
 def dup_clusters(edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
                  max_iter: int = 25) -> DataFrame:
     """(comp, n_members, keep_doc, drop_docs) — one row per duplicate
