@@ -688,6 +688,15 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_textrank_terms(spark, sf_dir):
+    """TextRank keyword extraction (operators/collocations.py::
+    textrank_terms): fixed-iteration PageRank over the window-2 term
+    co-occurrence graph — unsupervised corpus keyword scores for
+    curation tagging. 3 rounds, d=0.85, rounded to 6dp."""
+    from .operators.collocations import textrank_terms
+    return textrank_terms(_docs(spark, sf_dir), window=2, n_iter=3)
+
+
 def q_dup_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank centrality over the shingle-Jaccard
     duplicate-candidate graph (operators/clusters.py::pagerank — same
@@ -1939,6 +1948,46 @@ pr3 AS (
     FROM sym s JOIN pr2 p ON p.node = s.a GROUP BY s.b) c USING (node)
 )
 SELECT node, round(pr, 6) AS pr FROM pr3"""
+
+    sql["textrank_terms"] = f"""
+WITH {POSITIONS_CTE},
+ed AS (
+  SELECT DISTINCT least(a.term, b.term) AS ta,
+         greatest(a.term, b.term) AS tb
+  FROM tokp a JOIN tokp b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+  WHERE a.term <> b.term
+),
+sym AS (SELECT ta AS a, tb AS b FROM ed
+        UNION SELECT tb, ta FROM ed),
+deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM sym GROUP BY a),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+pr0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+pr1 AS (
+  SELECT d.node, d.deg,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.s, 0.0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT s.b AS node, sum(p.pr / p.deg) AS s
+    FROM sym s JOIN pr0 p ON p.node = s.a GROUP BY s.b) c USING (node)
+),
+pr2 AS (
+  SELECT d.node, d.deg,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.s, 0.0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT s.b AS node, sum(p.pr / p.deg) AS s
+    FROM sym s JOIN pr1 p ON p.node = s.a GROUP BY s.b) c USING (node)
+),
+pr3 AS (
+  SELECT d.node, d.deg,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * coalesce(c.s, 0.0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT s.b AS node, sum(p.pr / p.deg) AS s
+    FROM sym s JOIN pr2 p ON p.node = s.a GROUP BY s.b) c USING (node)
+)
+SELECT node AS term, round(pr, 6) AS pr FROM pr3"""
 
     sql["doc_perplexity"] = f"""
 WITH {TOK_CTE},
@@ -3522,6 +3571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "dup_clusters": q_dup_clusters,
     "dup_pagerank": q_dup_pagerank,
+    "textrank_terms": q_textrank_terms,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

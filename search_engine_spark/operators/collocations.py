@@ -34,6 +34,48 @@ from ..functions.tokenize import tokens_col
 from .query import SCORE_DECIMALS
 
 
+def cooccurrence_edges(docs: DataFrame, text_col: str = "text",
+                       window: int = 2) -> DataFrame:
+    """(ta, tb) — distinct unordered term pairs co-occurring within
+    ``window`` token positions in any document (ta < tb
+    lexicographically). The TextRank co-occurrence graph (Mihalcea &
+    Tarau 2004): vertices = terms, edges = windowed co-occurrence.
+
+    Pairs are generated JVM-side with a nested ``transform`` over token
+    indexes (no shuffle, no UDF, fan-out ≤ window per token); the only
+    shuffle is the edge ``distinct``, keyed by term pair — bounded by
+    vocabulary², realistically by vocabulary × typical-neighborhood,
+    independent of corpus row count."""
+    w = int(window)
+    toks = docs.select(tokens_col(text_col).alias("t"))
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "flatten(transform(sequence(0, size(t) - 2), i -> "
+            f"transform(sequence(i + 1, least(i + {w}, size(t) - 1)), "
+            "j -> struct(t[i] AS x, t[j] AS y))))")).alias("p"))
+        .select("p.x", "p.y")
+        .where(F.col("x") != F.col("y"))
+    )
+    return (pairs.select(F.least("x", "y").alias("ta"),
+                         F.greatest("x", "y").alias("tb"))
+            .distinct())
+
+
+def textrank_terms(docs: DataFrame, text_col: str = "text",
+                   window: int = 2, damping: float = 0.85,
+                   n_iter: int = 3) -> DataFrame:
+    """(term, pr) — TextRank keyword scores: fixed-iteration PageRank
+    (operators/clusters.py::pagerank) over the windowed co-occurrence
+    graph. The unsupervised keyword-extraction operator a curation
+    pipeline uses to tag corpora; fixed n_iter keeps it deterministic
+    and DuckDB-unrollable."""
+    from .clusters import pagerank
+    edges = cooccurrence_edges(docs, text_col=text_col, window=window)
+    pr = pagerank(edges, a="ta", b="tb", damping=damping, n_iter=n_iter)
+    return pr.select(F.col("node").alias("term"), "pr")
+
+
 def collocations(docs: DataFrame, text_col: str = "text",
                  min_count: int = COLLOC_MIN_COUNT) -> DataFrame:
     """(t1, t2, c_ab, pmi) for every adjacent bigram with

@@ -39,3 +39,21 @@ def test_collocations_match_bruteforce(spark, tiny_corpus):
             assert got[pair][0] == exp[pair][0], pair
             assert math.isclose(got[pair][1], exp[pair][1],
                                 abs_tol=1e-6), pair
+
+
+def test_cooccurrence_edges_window(spark):
+    from search_engine_spark.operators.collocations import (
+        cooccurrence_edges, textrank_terms)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta alpha beta")],
+        "doc_id long, text string")
+    got = {(r.ta, r.tb) for r in cooccurrence_edges(docs, window=2).collect()}
+    # doc1 window-2 pairs: (alpha,beta) (alpha,gamma) (beta,gamma);
+    # doc2 adds only repeats of (alpha,beta); self-pairs (beta,beta) drop
+    assert got == {("alpha", "beta"), ("alpha", "gamma"),
+                   ("beta", "gamma")}
+    # triangle graph → all degrees equal → uniform PageRank 1/3
+    pr = {r.term: r.pr for r in textrank_terms(docs, window=2).collect()}
+    assert set(pr) == {"alpha", "beta", "gamma"}
+    for v in pr.values():
+        assert abs(v - 1.0 / 3.0) < 1e-6
