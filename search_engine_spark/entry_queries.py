@@ -688,6 +688,45 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (operators/facets.py
+    significant_terms): JLH-scored foreground-vs-corpus term lift over
+    each query's disjunctive candidate set, top-10 per query."""
+    from .operators.facets import significant_terms
+    tc, _ds, ts, n_docs, _avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return significant_terms(tc, ts, q, n_docs, k=10)
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (operators/percolate.py): route every document
+    to the stored queries it satisfies conjunctively; per-doc sorted
+    qid list + count."""
+    from .operators.percolate import percolate
+    tc, _ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return percolate(tc, q)
+
+
+def q_rescore_topk(spark, sf_dir):
+    """Two-phase retrieval (operators/rescore.py): BM25 top-50 window
+    rescored with a min-pairwise-term-distance proximity boost from
+    the positional index, re-ranked to top-10."""
+    from .operators.query import bm25_scores
+    from .operators.rescore import rescore_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return rescore_topk(bm25_scores(tc, ds, ts, q, n_docs, avgdl),
+                        _pos_idx(spark, sf_dir), q, k=10)
+
+
+def q_date_histogram(spark, sf_dir):
+    """date_histogram aggregation (operators/facets.py): hourly event
+    counts and value sums per event_type over the events table."""
+    from .operators.facets import date_histogram
+    return date_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_textrank_terms(spark, sf_dir):
     """TextRank keyword extraction (operators/collocations.py::
     textrank_terms): fixed-iteration PageRank over the window-2 term
@@ -1948,6 +1987,73 @@ pr3 AS (
     FROM sym s JOIN pr2 p ON p.node = s.a GROUP BY s.b) c USING (node)
 )
 SELECT node, round(pr, 6) AS pr FROM pr3"""
+
+    sql["significant_terms"] = f"""
+WITH {TOK_CTE},
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+m AS (SELECT DISTINCT q.qid, tc.doc_id FROM q JOIN tc USING (term)),
+fgn AS (SELECT qid, count(*)::DOUBLE AS fg_n FROM m GROUP BY qid),
+fg AS (SELECT m.qid, tc.term, count(*)::BIGINT AS fg_df
+       FROM m JOIN tc ON tc.doc_id = m.doc_id GROUP BY 1, 2),
+sc AS (SELECT fg.qid, fg.term, fg.fg_df, ts.df::BIGINT AS bg_df,
+              fg.fg_df::DOUBLE / fgn.fg_n AS fgr,
+              ts.df::DOUBLE / (SELECT n FROM n) AS bgr
+       FROM fg JOIN ts USING (term) JOIN fgn USING (qid)),
+sig AS (SELECT qid, term, fg_df, bg_df,
+               round((fgr - bgr) * (fgr / bgr), 6) AS score
+        FROM sc WHERE fgr > bgr),
+rk AS (SELECT qid, term, fg_df, bg_df, score,
+              (row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, term))::INT AS rank
+       FROM sig)
+SELECT qid, term, fg_df, bg_df, score, rank FROM rk WHERE rank <= 10"""
+
+    sql["percolate"] = f"""
+WITH {TOK_CTE},
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qd AS (SELECT DISTINCT qid, term FROM q),
+need AS (SELECT qid, count(*)::BIGINT AS need FROM qd GROUP BY qid),
+hits AS (SELECT tc.doc_id, qd.qid, count(*)::BIGINT AS have
+         FROM tc JOIN qd USING (term) GROUP BY 1, 2),
+ok AS (SELECT h.doc_id, h.qid FROM hits h
+       JOIN need n ON n.qid = h.qid AND h.have = n.need)
+SELECT doc_id,
+       array_to_string(list_sort(list(qid)), ',') AS qids,
+       count(*)::BIGINT AS n_queries
+FROM ok GROUP BY doc_id"""
+
+    sql["rescore_topk"] = f"""
+WITH {_bm25_ctes()},
+{POSITIONS_CTE},
+base AS (SELECT qid, doc_id, score AS base_score
+         FROM ranked WHERE rank <= 50),
+qd AS (SELECT DISTINCT qid, term FROM q),
+qp AS (SELECT qd.qid, tokp.doc_id, tokp.term, tokp.pos
+       FROM tokp JOIN qd ON qd.term = tokp.term
+       JOIN base bs ON bs.qid = qd.qid AND bs.doc_id = tokp.doc_id),
+prox AS (SELECT a.qid, a.doc_id,
+                min(abs(a.pos - b.pos))::DOUBLE AS min_dist
+         FROM qp a JOIN qp b
+           ON a.qid = b.qid AND a.doc_id = b.doc_id AND a.term < b.term
+         GROUP BY 1, 2),
+fin AS (SELECT bs.qid, bs.doc_id, bs.base_score,
+               round(bs.base_score
+                     + coalesce(2.0 / (1.0 + p.min_dist), 0.0), 6) AS score
+        FROM base bs LEFT JOIN prox p
+          ON p.qid = bs.qid AND p.doc_id = bs.doc_id),
+rr AS (SELECT qid, doc_id, base_score, score,
+              (row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id))::INT AS rank
+       FROM fin)
+SELECT qid, doc_id, rank, score, base_score FROM rr WHERE rank <= 10"""
+
+    sql["date_histogram"] = """
+SELECT date_trunc('hour', ts) AS bucket, event_type AS key,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
 
     sql["textrank_terms"] = f"""
 WITH {POSITIONS_CTE},
@@ -3572,6 +3678,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "dup_pagerank": q_dup_pagerank,
     "textrank_terms": q_textrank_terms,
+    "significant_terms": q_significant_terms,
+    "percolate": q_percolate,
+    "rescore_topk": q_rescore_topk,
+    "date_histogram": q_date_histogram,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

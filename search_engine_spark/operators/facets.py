@@ -106,3 +106,60 @@ def filtered_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                    .select("doc_id")
     scored = bm25_scores(tc, ds, tstats, qterms, n_docs, avgdl)
     return _topk(scored.join(keep, "doc_id", "leftsemi"), k)
+
+
+def significant_terms(tc: DataFrame, tstats: DataFrame, qterms: DataFrame,
+                      n_docs: int, k: int = TOP_K_DEFAULT) -> DataFrame:
+    """(qid, term, fg_df, bg_df, score, rank) — significant-terms
+    aggregation: terms overrepresented in a query's matching docs
+    (foreground) vs the whole corpus (background), scored with the
+    JLH heuristic production engines ship:
+
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    with fg_rate = fg_df / |fg docs| and bg_rate = df / N; only terms
+    with fg_rate > bg_rate qualify. Top-k per query (score desc, term
+    asc) on the 6dp-rounded score so ranks are cross-engine stable.
+
+    Scale shape: the foreground set is the usual broadcast semi-join
+    candidate universe; fanning it back through `tc` is one equi-join
+    keyed by doc_id followed by a map-side-combined (qid, term) count —
+    output bounded by queries × vocabulary, never corpus-sized. The
+    per-query foreground size is a broadcastable aggregate."""
+    matches = (tc.join(F.broadcast(qterms.select("qid", "term").distinct()),
+                       "term", "inner")
+               .select("qid", "doc_id").distinct())
+    fg_n = matches.groupBy("qid").agg(
+        F.count("*").cast("double").alias("fg_n"))
+    fg = (matches.join(tc.select("doc_id", "term"), "doc_id", "inner")
+          .groupBy("qid", "term")
+          .agg(F.count("*").cast("long").alias("fg_df")))
+    joined = (fg.join(tstats.select("term", F.col("df").alias("bg_df")),
+                      "term", "inner")
+              .join(F.broadcast(fg_n), "qid", "inner"))
+    fgr = F.col("fg_df").cast("double") / F.col("fg_n")
+    bgr = F.col("bg_df").cast("double") / F.lit(float(n_docs))
+    scored = (joined.where(fgr > bgr)
+              .select("qid", "term", "fg_df",
+                      F.col("bg_df").cast("long").alias("bg_df"),
+                      F.round((fgr - bgr) * (fgr / bgr), 6).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("qid", "term", "fg_df", "bg_df", "score", "rank"))
+
+
+def date_histogram(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "event_type", value_col: str = "value",
+                   interval: str = "hour") -> DataFrame:
+    """(bucket, key, n_events, sum_value) — time-bucketed counts and
+    sums per key: the date_histogram aggregation dashboards issue
+    against an event/search-log table. One map-side-combined groupBy
+    on (truncated ts, key); output is buckets × key-cardinality, tiny
+    at any corpus size. Sums rounded to 6dp for float parity."""
+    return (events.groupBy(
+                F.date_trunc(interval, F.col(ts_col)).alias("bucket"),
+                F.col(key_col).alias("key"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum(value_col), 6).alias("sum_value")))
