@@ -327,7 +327,9 @@ def main() -> None:
              "bm25f_topk", "quantized_topk", "facet_counts",
              "collapse_topk", "synonym_topk",
              "repetition_stats", "pii_scrub", "conv_context",
-             "chunk_docs", "hybrid_topk"]
+             "chunk_docs", "hybrid_topk",
+             "significant_terms", "percolate", "rescore_topk",
+             "date_histogram", "textrank_terms"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

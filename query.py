@@ -53,6 +53,15 @@ def main() -> None:
     ap.add_argument("--count", action="store_true",
                     help="print a COUNT qid n_any n_all header per query "
                          "(docs matching any / all terms) before the hits")
+    ap.add_argument("--rescore", type=int, default=0, metavar="N",
+                    help="two-phase retrieval (BM25 modes): rescore the "
+                         "top-N window with a min-pairwise-term-distance "
+                         "proximity boost from the positional index "
+                         "(needs a --positional build)")
+    ap.add_argument("--significant", action="store_true",
+                    help="print SIGTERM qid term fg_df bg_df score rank "
+                         "lines: top significant (JLH) terms of each "
+                         "query's candidate set")
     ap.add_argument("--explain", action="store_true",
                     help="print an EXPLAIN qid doc term tf df idf sat "
                          "partial line per scored term of each hit "
@@ -80,6 +89,9 @@ def main() -> None:
     if not queries:
         ap.error("need --query or --topics")
 
+    # with --rescore N the phase-1 retrieval must return the full
+    # rescore window, not just the final page
+    k_eff = max(args.k, args.rescore) if args.rescore else args.k
     spark = get_spark(app="index-query", cpus=args.cpus)
     spark.sparkContext.setLogLevel("WARN")
     ix = open_index(spark, args.index)
@@ -98,33 +110,33 @@ def main() -> None:
             res = phrase_bm25_topk(ix.term_counts, ix.doc_stats,
                                    ix.term_stats, pos, ph,
                                    phrase_query_terms_df(spark, queries),
-                                   ix.n_docs, ix.avgdl, k=args.k)
+                                   ix.n_docs, ix.avgdl, k=k_eff)
         else:
             nq = near_query_terms_df(spark, queries)
             pos = ix.positional_pruned(nq)
             res = near_bm25_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
                                  pos, nq, qterms, ix.n_docs, ix.avgdl,
                                  window=args.near_window or NEAR_WINDOW,
-                                 k=args.k)
+                                 k=k_eff)
         res = res.drop("phrase_tf", "min_gap")
     elif args.mode == "lm":
         from pyspark.sql import functions as F
         from search_engine_spark.operators.lm import lm_dirichlet_topk
         total = int(ix.doc_stats.agg(F.sum("dl")).collect()[0][0])
         res = lm_dirichlet_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
-                                qterms, total, k=args.k)
+                                qterms, total, k=k_eff)
     elif args.mode == "prefix":
         from search_engine_spark.operators.wildcard import (prefix_query_df,
                                                             prefix_topk)
         pq = prefix_query_df(spark, queries)
         res = prefix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, pq,
-                          ix.n_docs, ix.avgdl, k=args.k)
+                          ix.n_docs, ix.avgdl, k=k_eff)
     elif args.mode == "fuzzy":
         from search_engine_spark.operators.fuzzy import (fuzzy_bm25_topk,
                                                          fuzzy_query_terms_df)
         fq = fuzzy_query_terms_df(spark, queries)
         res = fuzzy_bm25_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
-                              fq, ix.n_docs, ix.avgdl, k=args.k)
+                              fq, ix.n_docs, ix.avgdl, k=k_eff)
     elif args.mode == "suggest":
         from search_engine_spark.operators.fuzzy import (fuzzy_query_terms_df,
                                                          suggest_terms)
@@ -139,7 +151,7 @@ def main() -> None:
         from search_engine_spark.operators.mlt import more_like_this
         seeds = [int(tok) for _, title in queries for tok in title.split()]
         rows = (more_like_this(ix.term_counts, ix.term_stats, seeds,
-                               ix.n_docs, k=args.k)
+                               ix.n_docs, k=k_eff)
                 .orderBy("seed_id", "rank").collect())
         for r in rows:
             print(f"{r.seed_id}\t{r.doc_id}\t{r.rank}\t{r.score}")
@@ -158,7 +170,22 @@ def main() -> None:
                         salt_buckets=ix.salt_buckets)
     else:
         res = bm25_topk_from_index(blocked, ix.doc_stats, qterms,
-                                   ix.n_docs, ix.avgdl, k=args.k)
+                                   ix.n_docs, ix.avgdl, k=k_eff)
+    if args.rescore:
+        if ix.positional is None:
+            ap.error("--rescore needs an index built with --positional")
+        from search_engine_spark.operators.rescore import rescore_topk
+        res = rescore_topk(res.select("qid", "doc_id", "score"),
+                           ix.positional_pruned(qterms), qterms,
+                           k=args.k, window=args.rescore)
+        res = res.drop("base_score")
+    if args.significant:
+        from search_engine_spark.operators.facets import significant_terms
+        sig = significant_terms(ix.term_counts, ix.term_stats, qterms,
+                                ix.n_docs, k=10)
+        for r in sig.orderBy("qid", "rank").collect():
+            print(f"SIGTERM\t{r.qid}\t{r.term}\t{r.fg_df}\t{r.bg_df}"
+                  f"\t{r.score}\t{r.rank}")
     if args.count:
         from search_engine_spark.operators.query import hit_counts
         for r in hit_counts(ix.term_counts, qterms).orderBy("qid").collect():

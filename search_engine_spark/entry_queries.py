@@ -530,7 +530,29 @@ def _persisted_index(spark, sf_dir):
                                  salt_buckets=8, positional=True)
         hit = open_index(spark, out)
         _CORPUS_CACHE[key] = hit
+        _CORPUS_CACHE[key + ("dir",)] = out
     return hit
+
+
+def q_build_metrics(spark, sf_dir):
+    """Value-gates the metrics the checkpointed build RECORDS (north
+    rule: 'row-count/df/cf metrics written per shuffle stage'): the
+    rows / sum_df / sum_cf / vocab numbers read back from the committed
+    _DONE stage markers must equal what the oracle recomputes from the
+    raw corpus — recorded lineage metrics are truthful, not
+    decorative."""
+    from .plans.build_driver import _read_marker
+    _persisted_index(spark, sf_dir)  # ensure the build is committed
+    out = _CORPUS_CACHE[(spark.sparkContext.applicationId, sf_dir,
+                         "persisted_pos_idx", "dir")]
+    rows = []
+    for stage in ("doc_map", "term_counts", "doc_stats", "term_stats"):
+        rec = _read_marker(out, stage)
+        rows.append((f"{stage}_rows", int(rec["rows"])))
+    idx = _read_marker(out, "index")
+    for m in ("sum_df", "sum_cf", "vocab"):
+        rows.append((f"index_{m}", int(idx[m])))
+    return spark.createDataFrame(rows, "metric string, value long")
 
 
 def q_positions_persisted(spark, sf_dir):
@@ -686,6 +708,65 @@ def q_dup_clusters(spark, sf_dir):
     from .operators.clusters import connected_components
     edges = dedup.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
     return connected_components(edges)
+
+
+def q_term_assoc(spark, sf_dir):
+    """Document-level term association ("related terms",
+    operators/collocations.py::term_associations): doc-incidence cosine
+    codf/sqrt(df_a·df_b) for pairs co-occurring in ≥2 docs."""
+    from .operators.collocations import term_associations
+    tc, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    return term_associations(tc, ts, min_codf=2)
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Per-document top-3 tf·idf keywords (operators/textstats.py::
+    doc_keywords) — the term-vector surface for doc tagging and
+    related-doc linking."""
+    from .operators.textstats import doc_keywords
+    tc, _ds, ts, n_docs, _a = _corpus(spark, sf_dir)
+    return doc_keywords(tc, ts, n_docs, k=3)
+
+
+def q_percolate_stream(spark, sf_dir):
+    """STREAMING percolation (continuous queries / alerting): the
+    corpus replayed as 3 parquet micro-batches, each routed through the
+    SAME percolate operator in foreachBatch against the broadcast
+    stored-query set, results appended. Per-document routing is
+    batch-independent, so the appended union must equal the batch
+    `percolate` oracle exactly — the value gate for the alerting path
+    a fulltext engine runs at ingest time."""
+    import tempfile
+
+    from .operators.percolate import percolate
+    key = (spark.sparkContext.applicationId, sf_dir, "percolate_stream")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    root = tempfile.mkdtemp(prefix="segspark_perc_")
+    third = n // 3
+    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third),
+                                  (2 * third, n)]):
+        (docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    qterms = query_terms_df(spark, QUERY_SET)
+    out = f"{root}/out"
+
+    def _route(bdf, _bid):
+        (percolate(term_counts_sql(bdf), qterms)
+         .write.mode("append").parquet(out))
+
+    q = (stream.writeStream.foreachBatch(_route)
+         .option("checkpointLocation", f"{root}/_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    _CORPUS_CACHE[key] = res
+    return res
 
 
 def q_significant_terms(spark, sf_dir):
@@ -1988,6 +2069,41 @@ pr3 AS (
 )
 SELECT node, round(pr, 6) AS pr FROM pr3"""
 
+    sql["build_metrics"] = f"""
+WITH {TOK_CTE}
+SELECT 'doc_map_rows' AS metric, count(*)::BIGINT AS value FROM documents
+UNION ALL SELECT 'term_counts_rows', count(*)::BIGINT FROM tc
+UNION ALL SELECT 'doc_stats_rows', count(*)::BIGINT FROM ds
+UNION ALL SELECT 'term_stats_rows', count(*)::BIGINT FROM ts
+UNION ALL SELECT 'index_sum_df', sum(df)::BIGINT FROM ts
+UNION ALL SELECT 'index_sum_cf', sum(cf)::BIGINT FROM ts
+UNION ALL SELECT 'index_vocab', count(*)::BIGINT FROM ts"""
+
+    sql["term_assoc"] = f"""
+WITH {TOK_CTE},
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS codf
+  FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.ta, p.tb, p.codf,
+       round(p.codf::DOUBLE / sqrt(sa.df::DOUBLE * sb.df::DOUBLE), 6)
+         AS score
+FROM pairs p JOIN ts sa ON sa.term = p.ta JOIN ts sb ON sb.term = p.tb"""
+
+    sql["doc_keywords"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+sc AS (SELECT tc.doc_id, tc.term, tc.tf,
+              round(tc.tf::DOUBLE
+                    * ln((SELECT n FROM n) / ts.df::DOUBLE), 6) AS score
+       FROM tc JOIN ts USING (term)),
+rk AS (SELECT doc_id, term, tf, score,
+              (row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term))::INT AS rank
+       FROM sc)
+SELECT doc_id, term, tf, score, rank FROM rk WHERE rank <= 3"""
+
     sql["significant_terms"] = f"""
 WITH {TOK_CTE},
 q(qid, term, qtf) AS (VALUES
@@ -2024,6 +2140,9 @@ SELECT doc_id,
        array_to_string(list_sort(list(qid)), ',') AS qids,
        count(*)::BIGINT AS n_queries
 FROM ok GROUP BY doc_id"""
+    # streaming replay must be indistinguishable from batch percolation
+    # (per-doc routing is batch-independent) — same oracle by design
+    sql["percolate_stream"] = sql["percolate"]
 
     sql["rescore_topk"] = f"""
 WITH {_bm25_ctes()},
@@ -3682,6 +3801,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percolate": q_percolate,
     "rescore_topk": q_rescore_topk,
     "date_histogram": q_date_histogram,
+    "build_metrics": q_build_metrics,
+    "term_assoc": q_term_assoc,
+    "doc_keywords": q_doc_keywords,
+    "percolate_stream": q_percolate_stream,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

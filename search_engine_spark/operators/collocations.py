@@ -109,3 +109,51 @@ def collocations(docs: DataFrame, text_col: str = "text",
         .select("t1", "t2", "c_ab",
                 F.round(pmi, SCORE_DECIMALS).alias("pmi"))
     )
+
+
+def term_associations(tc: DataFrame, tstats: DataFrame,
+                      min_codf: int = 2,
+                      max_df_frac: float | None = None,
+                      n_docs: int | None = None) -> DataFrame:
+    """(ta, tb, codf, score) — document-level term association
+    ("related terms"): for every unordered term pair co-occurring in
+    ≥ min_codf documents, the cosine of their doc-incidence vectors
+
+        score = codf / sqrt(df_a * df_b)
+
+    (round-6). Distinct from `collocations` (adjacency PMI) and
+    `textrank_terms` (window graph): association here is whole-document
+    co-membership, the signal behind "related searches" panels.
+
+    Scale shape: the doc-keyed self-join of the (doc, term) incidence
+    relation fans out uniq² per doc — the classic item-similarity job.
+    `max_df_frac` (with `n_docs`) drops stopword-grade terms BEFORE the
+    self-join, the standard hot-item guard at corpus scale; None keeps
+    exact semantics for the oracle gate. min_codf prunes the long tail
+    after one map-side-combined count."""
+    inc = tc.select("doc_id", "term")
+    if max_df_frac is not None:
+        if n_docs is None:
+            raise ValueError("max_df_frac needs n_docs")
+        hot = (tstats.where(
+            F.col("df").cast("double") > float(max_df_frac) * float(n_docs))
+            .select("term"))
+        inc = inc.join(F.broadcast(hot), "term", "left_anti")
+    a = inc.alias("a")
+    b = inc.alias("b")
+    pairs = (a.join(b, [F.col("a.doc_id") == F.col("b.doc_id"),
+                        F.col("a.term") < F.col("b.term")])
+             .groupBy(F.col("a.term").alias("ta"),
+                      F.col("b.term").alias("tb"))
+             .agg(F.count("*").cast("long").alias("codf"))
+             .where(F.col("codf") >= int(min_codf)))
+    da = tstats.select(F.col("term").alias("ta"),
+                       F.col("df").alias("_dfa"))
+    db = tstats.select(F.col("term").alias("tb"),
+                       F.col("df").alias("_dfb"))
+    return (pairs.join(da, "ta").join(db, "tb")
+            .select("ta", "tb", "codf",
+                    F.round(F.col("codf").cast("double")
+                            / F.sqrt(F.col("_dfa").cast("double")
+                                     * F.col("_dfb").cast("double")),
+                            6).alias("score")))

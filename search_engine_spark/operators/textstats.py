@@ -248,3 +248,28 @@ def doc_perplexity(tc: DataFrame, tstats: DataFrame,
     return per_doc.select("doc_id", "dl",
                           F.round(avg, 6).alias("avg_nll"),
                           F.round(F.exp(avg), 6).alias("ppl"))
+
+
+def doc_keywords(tc: DataFrame, tstats: DataFrame, n_docs: int,
+                 k: int = 3) -> DataFrame:
+    """(doc_id, term, tf, score, rank) — top-k characteristic terms per
+    document by tf·idf (idf = ln(N/df), round-6): the term-vector /
+    per-doc-keyword surface (doc tagging, related-doc linking,
+    more-like-this seeds).
+
+    Scale shape: one broadcast dictionary join onto the (doc, term, tf)
+    relation and ONE window partitioned by doc_id with rank ≤ k —
+    WindowGroupLimit pushes the limit into the shuffle, so per-reducer
+    state is a doc's unique terms, never the corpus."""
+    from pyspark.sql.window import Window
+    scored = (tc.join(tstats.select("term", "df"), "term", "inner")
+              .select("doc_id", "term", "tf",
+                      F.round(F.col("tf").cast("double")
+                              * F.log(F.lit(float(n_docs))
+                                      / F.col("df").cast("double")),
+                              6).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= int(k))
+            .select("doc_id", "term", "tf", "score", "rank"))

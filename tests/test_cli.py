@@ -107,3 +107,32 @@ def test_cli_explain_lines(built_index):
     assert ex and {e[2] for e in ex} == hits  # every hit explained
     assert all(float(e[8]) > 0 for e in ex)
     assert all(e[3] in ("a", "se") for e in ex)
+
+
+def test_cli_significant_lines(built_index):
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--query", "a se", "--k", "3", "--significant"])
+    sig = [ln.split("\t") for ln in got.splitlines()
+           if ln.startswith("SIGTERM\t")]
+    assert sig, got
+    # columns: SIGTERM qid term fg_df bg_df score rank; ranks 1..n
+    assert [int(r[6]) for r in sig] == list(range(1, len(sig) + 1))
+    assert all(int(r[3]) >= 1 and int(r[4]) >= int(r[3]) - 0 for r in sig)
+
+
+def test_cli_rescore_two_phase(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_pos") / "idx")
+    _run(["build.py", "--synthetic", "12", "--out", out, "--cpus", "4",
+          "--positional"])
+    plain = _run(["query.py", "--index", out, "--cpus", "4",
+                  "--query", "a se", "--k", "5"])
+    boosted = _run(["query.py", "--index", out, "--cpus", "4",
+                    "--query", "a se", "--k", "5", "--rescore", "20"])
+    rows_p = [ln.split("\t") for ln in plain.strip().splitlines()]
+    rows_b = [ln.split("\t") for ln in boosted.strip().splitlines()]
+    assert len(rows_b) == len(rows_p)
+    assert [int(r[2]) for r in rows_b] == list(range(1, len(rows_b) + 1))
+    # proximity boost only ever raises a doc's score
+    best_p = max(float(r[3]) for r in rows_p)
+    best_b = max(float(r[3]) for r in rows_b)
+    assert best_b >= best_p - 1e-9

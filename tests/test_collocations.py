@@ -57,3 +57,38 @@ def test_cooccurrence_edges_window(spark):
     assert set(pr) == {"alpha", "beta", "gamma"}
     for v in pr.values():
         assert abs(v - 1.0 / 3.0) < 1e-6
+
+
+def test_term_associations_and_doc_keywords(spark):
+    import math
+
+    from search_engine_spark.functions.tokenize import term_counts_sql
+    from search_engine_spark.operators.collocations import term_associations
+    from search_engine_spark.operators.index_build import term_stats
+    from search_engine_spark.operators.textstats import doc_keywords
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat dog"), (3, "cat bird"), (4, "fish")],
+        "doc_id long, text string")
+    tc = term_counts_sql(docs)
+    ts = term_stats(tc)
+    got = {(r.ta, r.tb): (r.codf, r.score)
+           for r in term_associations(tc, ts, min_codf=2).collect()}
+    # only (cat,dog) co-occurs twice; df(cat)=3, df(dog)=2
+    assert set(got) == {("cat", "dog")}
+    assert got[("cat", "dog")][0] == 2
+    assert math.isclose(got[("cat", "dog")][1],
+                        round(2 / math.sqrt(3 * 2), 6), abs_tol=1e-6)
+    # hot-term guard drops "cat" (df 3/4 > 0.5) before the self-join
+    guarded = term_associations(tc, ts, min_codf=1, max_df_frac=0.5,
+                                n_docs=4).collect()
+    assert all("cat" not in (r.ta, r.tb) for r in guarded)
+
+    kw = {(r.doc_id, r.rank): (r.term, r.score)
+          for r in doc_keywords(tc, ts, 4, k=2).collect()}
+    # doc 4: "fish" df=1 → idf ln(4) — its only and top keyword
+    assert kw[(4, 1)][0] == "fish"
+    assert math.isclose(kw[(4, 1)][1], round(math.log(4.0), 6),
+                        abs_tol=1e-6)
+    # doc 3: bird (idf ln 4) beats cat (idf ln 4/3)
+    assert kw[(3, 1)][0] == "bird" and kw[(3, 2)][0] == "cat"
+    assert (1, 3) not in kw  # k=2 caps per-doc output
