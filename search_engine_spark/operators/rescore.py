@@ -50,15 +50,19 @@ def rescore_topk(scored: DataFrame, positions: DataFrame,
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())))
             .where(F.col("_r") <= window)
             .select("qid", "doc_id", F.col("score").alias("base_score")))
+    # every phase-2 relation is bounded by queries × window (× the
+    # positions of query terms in one doc) — broadcast-sized at ANY
+    # corpus size, so hint it: the static planner can't know that and
+    # would otherwise stage sort-merge joins
     qp = (positions.join(
               F.broadcast(qterms.select("qid", "term").distinct()),
               "term", "inner")
-          .join(base.select("qid", "doc_id"), ["qid", "doc_id"],
-                "leftsemi")
+          .join(F.broadcast(base.select("qid", "doc_id")),
+                ["qid", "doc_id"], "leftsemi")
           .select("qid", "doc_id", "term",
                   F.explode("positions").alias("pos")))
     a = qp.alias("a")
-    b = qp.alias("b")
+    b = F.broadcast(qp.alias("b"))
     prox = (a.join(b, [F.col("a.qid") == F.col("b.qid"),
                        F.col("a.doc_id") == F.col("b.doc_id"),
                        F.col("a.term") < F.col("b.term")])
@@ -66,7 +70,7 @@ def rescore_topk(scored: DataFrame, positions: DataFrame,
                      F.col("a.doc_id").alias("doc_id"))
             .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos")))
                  .cast("double").alias("min_dist")))
-    final = (base.join(prox, ["qid", "doc_id"], "left")
+    final = (base.join(F.broadcast(prox), ["qid", "doc_id"], "left")
              .withColumn("score", F.round(
                  F.col("base_score")
                  + F.coalesce(F.lit(float(weight))
