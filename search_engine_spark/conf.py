@@ -36,12 +36,17 @@ TOKEN_RE = r"[a-z][a-z0-9]*"
 # (/root/reference/input/stopwords.txt); used only when
 # filter_stopwords=True (default False to match the reference, which
 # loads but never applies it — src/invertedIndex.py:65-66).
-STOPWORDS_PATH = os.path.join(os.path.dirname(__file__), "..", "fixtures", "stopwords.txt")
+# Loaded as PACKAGE DATA (importlib.resources), not a filesystem path:
+# under `spark-submit --py-files <zip>` the package root is inside the
+# zip and open() on a joined path fails with NotADirectoryError.
+STOPWORDS_RESOURCE = ("fixtures", "stopwords.txt")
 
 
 def load_stopwords() -> frozenset[str]:
-    with open(os.path.abspath(STOPWORDS_PATH), encoding="utf-8") as f:
-        return frozenset(w.strip() for w in f if w.strip())
+    from importlib import resources
+    ref = resources.files(__package__).joinpath(*STOPWORDS_RESOURCE)
+    text = ref.read_text(encoding="utf-8")
+    return frozenset(w.strip() for w in text.splitlines() if w.strip())
 
 
 FILTER_STOPWORDS_DEFAULT = False

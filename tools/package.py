@@ -28,11 +28,11 @@ def main() -> None:
             if "__pycache__" in root:
                 continue
             for f in sorted(files):
-                if f.endswith(".py"):
+                # .py sources + package data (the stopword fixture,
+                # loaded via importlib.resources so it works from the zip)
+                if f.endswith((".py", ".txt")):
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, ROOT))
-        z.write(os.path.join(ROOT, "fixtures", "stopwords.txt"),
-                "fixtures/stopwords.txt")
     print(out)
 
 
