@@ -808,6 +808,14 @@ def q_date_histogram(spark, sf_dir):
     return date_histogram(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_burst_events(spark, sf_dir):
+    """Burst detection (operators/facets.py::burst_scores): each hourly
+    (event_type, bucket) count scored against the mean of its 3
+    trailing buckets — the spike-alerting pass over event logs."""
+    from .operators.facets import burst_scores
+    return burst_scores(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_textrank_terms(spark, sf_dir):
     """TextRank keyword extraction (operators/collocations.py::
     textrank_terms): fixed-iteration PageRank over the window-2 term
@@ -2173,6 +2181,24 @@ SELECT qid, doc_id, rank, score, base_score FROM rr WHERE rank <= 10"""
 SELECT date_trunc('hour', ts) AS bucket, event_type AS key,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    sql["burst_events"] = """
+WITH h AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+wf AS (
+  SELECT key, bucket, n_events,
+         avg(n_events::DOUBLE) OVER (PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail_avg,
+         count(n_events) OVER (PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS nprev
+  FROM h
+)
+SELECT key, bucket, n_events, round(trail_avg, 6) AS trail_avg,
+       round(n_events::DOUBLE / trail_avg, 6) AS score
+FROM wf WHERE nprev = 3"""
 
     sql["textrank_terms"] = f"""
 WITH {POSITIONS_CTE},
@@ -3805,6 +3831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_assoc": q_term_assoc,
     "doc_keywords": q_doc_keywords,
     "percolate_stream": q_percolate_stream,
+    "burst_events": q_burst_events,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

@@ -163,3 +163,34 @@ def date_histogram(events: DataFrame, ts_col: str = "ts",
                 F.col(key_col).alias("key"))
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.round(F.sum(value_col), 6).alias("sum_value")))
+
+
+def burst_scores(events: DataFrame, ts_col: str = "ts",
+                 key_col: str = "event_type", interval: str = "hour",
+                 trailing: int = 3) -> DataFrame:
+    """(key, bucket, n_events, trail_avg, score) — burst detection over
+    the date_histogram series: each bucket's count against the mean of
+    its ``trailing`` predecessor buckets (per key, bucket order),
+
+        score = n_events / trail_avg        (round-6)
+
+    Buckets without a full trailing window are omitted (no partial-
+    window guesses). The spike-alerting pass dashboards run over query
+    or event logs.
+
+    Scale shape: the input is the already-tiny histogram (buckets ×
+    keys), so the per-key ordered window costs nothing; no corpus-sized
+    relation is ever windowed."""
+    hist = date_histogram(events, ts_col=ts_col, key_col=key_col,
+                          interval=interval).select("key", "bucket",
+                                                    "n_events")
+    w = (Window.partitionBy("key").orderBy("bucket")
+         .rowsBetween(-int(trailing), -1))
+    out = (hist.withColumn("trail_avg",
+                           F.avg(F.col("n_events").cast("double")).over(w))
+           .withColumn("_nprev", F.count("n_events").over(w)))
+    return (out.where(F.col("_nprev") == int(trailing))
+            .select("key", "bucket", "n_events",
+                    F.round("trail_avg", 6).alias("trail_avg"),
+                    F.round(F.col("n_events").cast("double")
+                            / F.col("trail_avg"), 6).alias("score")))

@@ -87,3 +87,25 @@ def test_date_histogram_buckets(spark):
     assert got == {("2026-01-01 10:00:00", "click"): (2, 3.5),
                    ("2026-01-01 11:00:00", "click"): (1, 3.0),
                    ("2026-01-01 10:00:00", "view"): (1, 4.0)}
+
+
+def test_burst_scores_trailing_window(spark):
+    import datetime as dt
+
+    from search_engine_spark.operators.facets import burst_scores
+    base = dt.datetime(2026, 1, 1, 0, 30)
+    rows = []
+    eid = 0
+    # clicks: hours 0-3 have 2/hour, hour 4 spikes to 6
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 2), (4, 6)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base.replace(hour=h), "click", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double")
+    got = {str(r.bucket): r for r in burst_scores(ev).collect()}
+    # only hours 3 and 4 have a full 3-bucket trailing window
+    assert set(got) == {"2026-01-01 03:00:00", "2026-01-01 04:00:00"}
+    assert got["2026-01-01 03:00:00"].score == 1.0
+    assert got["2026-01-01 04:00:00"].trail_avg == 2.0
+    assert got["2026-01-01 04:00:00"].score == 3.0
