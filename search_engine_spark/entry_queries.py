@@ -769,6 +769,40 @@ def q_percolate_stream(spark, sf_dir):
     return res
 
 
+def q_dedup_stream(spark, sf_dir):
+    """STREAMING exact dedup (streaming/dedup_stream.py): the corpus
+    replayed as 3 ascending-doc_id micro-batches through the stateful
+    first-seen filter; the emitted keepers must equal the batch
+    min-doc_id-per-hash policy exactly (same grouping the `dedup_exact`
+    gate pins)."""
+    import tempfile
+
+    from .streaming.dedup_stream import dedup_stream
+    key = (spark.sparkContext.applicationId, sf_dir, "dedup_stream")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    root = tempfile.mkdtemp(prefix="segspark_dedup_")
+    third = n // 3
+    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third),
+                                  (2 * third, n)]):
+        (docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    out = f"{root}/out"
+    q = (dedup_stream(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", f"{root}/_ckpt")
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    _CORPUS_CACHE[key] = res
+    return res
+
+
 def q_significant_terms(spark, sf_dir):
     """Significant-terms aggregation (operators/facets.py
     significant_terms): JLH-scored foreground-vs-corpus term lift over
@@ -2151,6 +2185,12 @@ FROM ok GROUP BY doc_id"""
     # streaming replay must be indistinguishable from batch percolation
     # (per-doc routing is batch-independent) — same oracle by design
     sql["percolate_stream"] = sql["percolate"]
+
+    # ascending-doc_id replay makes first-seen == min-doc_id: the
+    # streaming dedup keepers must match the batch policy exactly
+    sql["dedup_stream"] = """
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY 1"""
 
     sql["rescore_topk"] = f"""
 WITH {_bm25_ctes()},
@@ -3832,6 +3872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_keywords": q_doc_keywords,
     "percolate_stream": q_percolate_stream,
     "burst_events": q_burst_events,
+    "dedup_stream": q_dedup_stream,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

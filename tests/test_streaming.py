@@ -225,3 +225,29 @@ def test_windowed_event_counts_exact_with_sentinel(spark, tmp_path):
         (base + 600, "a"): (1, 3.0),
         (base + 1200, "a"): (1, 4.0), (base + 1200, "b"): (1, 5.0),
     }  # the sentinel's own window is NOT emitted
+
+
+def test_stateful_dedup_stream_drops_cross_batch(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must be dropped by
+    the carried state; in-batch duplicates keep the min doc_id."""
+    from search_engine_spark.streaming.dedup_stream import dedup_stream
+    root = tmp_path / "dd_src"
+    root.mkdir()
+    b0 = [(1, "alpha beta"), (2, "gamma"), (3, "alpha beta")]  # in-batch dup
+    b1 = [(4, "alpha beta"), (5, "delta")]                     # cross-batch dup
+    b2 = [(6, "gamma"), (7, "delta"), (8, "epsilon")]
+    for i, rows in enumerate([b0, b1, b2]):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("overwrite").parquet(str(root / f"chunk{i}")))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    out = str(tmp_path / "dd_out")
+    q = (dedup_stream(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "dd_ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(240)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # one keeper per distinct text: alpha beta→1, gamma→2, delta→5,
+    # epsilon→8; docs 3 (in-batch), 4, 6, 7 (cross-batch) are dropped
+    assert kept == {1, 2, 5, 8}
