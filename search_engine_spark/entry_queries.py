@@ -769,6 +769,18 @@ def q_percolate_stream(spark, sf_dir):
     return res
 
 
+def q_term_stats_stopfiltered(spark, sf_dir):
+    """The P3 stopword filter driven through the oracle: term_stats
+    over the corpus tokenized WITH the reference's 37-word stoplist
+    applied (functions/tokenize.py filter_stopwords=True — the
+    reference loads this list but never applies it, so the engine's
+    default matches the reference and this gate pins the opt-in
+    path)."""
+    from .functions.tokenize import term_counts_sql as _tcs
+    docs = _docs(spark, sf_dir)
+    return term_stats(_tcs(docs, filter_stopwords=True))
+
+
 def q_dedup_stream(spark, sf_dir):
     """STREAMING exact dedup (streaming/dedup_stream.py): the corpus
     replayed as 3 ascending-doc_id micro-batches through the stateful
@@ -2191,6 +2203,17 @@ FROM ok GROUP BY doc_id"""
     sql["dedup_stream"] = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1"""
+
+    _stoplist = ", ".join(f"'{w}'" for w in sorted(load_stopwords()))
+    sql["term_stats_stopfiltered"] = f"""
+WITH tokf AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+kept AS (SELECT doc_id, term FROM tokf WHERE term NOT IN ({_stoplist})),
+tcf AS (SELECT doc_id, term, count(*)::INT AS tf FROM kept GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tcf GROUP BY term"""
 
     sql["rescore_topk"] = f"""
 WITH {_bm25_ctes()},
@@ -3873,6 +3896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percolate_stream": q_percolate_stream,
     "burst_events": q_burst_events,
     "dedup_stream": q_dedup_stream,
+    "term_stats_stopfiltered": q_term_stats_stopfiltered,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

@@ -98,14 +98,17 @@ def term_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.select(id_col, text_col).mapInPandas(run, schema=TERM_COUNTS_SCHEMA)
 
 
-def term_counts_sql(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def term_counts_sql(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    filter_stopwords: bool = FILTER_STOPWORDS_DEFAULT) -> DataFrame:
     """Pure-DataFrame twin of term_counts (explode + groupBy).
 
     Used by oracle-gated queries so the plan is 100% JVM; the pandas
     path above is the scale path (identical output, property-tested).
     """
     return (
-        df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        df.select(F.col(id_col).alias("doc_id"),
+                  tokens_col(text_col,
+                             filter_stopwords=filter_stopwords).alias("toks"))
         .where(F.size("toks") > 0)
         .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
