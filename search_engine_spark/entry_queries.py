@@ -769,6 +769,23 @@ def q_percolate_stream(spark, sf_dir):
     return res
 
 
+# \b-anchored so the anchor-term prefilter is exactly sound: a regex
+# hit implies the tokenizer emitted the bare token "spark" (a word
+# boundary before 's' starts a token, and the \s after caps it)
+REGEX_PATTERN = r"\bspark\s+(join|merge)"
+REGEX_ANCHOR = "spark"
+
+
+def q_regex_match(spark, sf_dir):
+    """Index-accelerated regex content search (operators/wildcard.py::
+    regex_search): the anchor term's postings prune candidates before
+    the regexp scan — grep-class queries at index cost."""
+    from .operators.wildcard import regex_search
+    tc, _ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    return regex_search(tc, _docs(spark, sf_dir), REGEX_PATTERN,
+                        REGEX_ANCHOR)
+
+
 def q_term_stats_stopfiltered(spark, sf_dir):
     """The P3 stopword filter driven through the oracle: term_stats
     over the corpus tokenized WITH the reference's 37-word stoplist
@@ -2203,6 +2220,10 @@ FROM ok GROUP BY doc_id"""
     sql["dedup_stream"] = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1"""
+
+    sql["regex_match"] = f"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '{REGEX_PATTERN}')"""
 
     _stoplist = ", ".join(f"'{w}'" for w in sorted(load_stopwords()))
     sql["term_stats_stopfiltered"] = f"""
@@ -3897,6 +3918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burst_events": q_burst_events,
     "dedup_stream": q_dedup_stream,
     "term_stats_stopfiltered": q_term_stats_stopfiltered,
+    "regex_match": q_regex_match,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

@@ -84,3 +84,24 @@ def prefix_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     eq = (exp.groupBy("qid", "term")
           .agg(F.sum("qtf").cast("int").alias("qtf")))
     return bm25_topk(tc, ds, tstats, eq, n_docs, avgdl, k=k)
+
+
+def regex_search(tc: DataFrame, docs: DataFrame, pattern: str,
+                 anchor_term: str, text_col: str = "text") -> DataFrame:
+    """(doc_id) — documents whose text matches ``pattern``, accelerated
+    by the index: the postings of ``anchor_term`` (a literal token the
+    caller extracts from the regex) prune the candidate set BEFORE any
+    text is scanned, the standard trigram/literal-prefilter trick
+    production engines use to run grep-class queries off an inverted
+    index. The regex must stay in the RE2-compatible subset shared by
+    Spark's Java regex and DuckDB so the oracle can replay it.
+
+    Scale shape: one broadcast-semi-join on the anchor term's postings
+    (candidate set = df(anchor), never the corpus), then regexp_like
+    over candidates only — the full-text scan cost is proportional to
+    the anchor's selectivity, not the table."""
+    cand = (tc.where(F.col("term") == F.lit(anchor_term))
+            .select("doc_id").distinct())
+    return (docs.join(cand, "doc_id", "leftsemi")
+            .where(F.regexp_like(F.lower(F.col(text_col)), F.lit(pattern)))
+            .select("doc_id"))

@@ -84,3 +84,18 @@ def test_prefix_topk_equals_expanded_bm25(spark, tiny_corpus):
             bm25_topk(tc, ds, ts_, eq, n_docs, avgdl, k=10)
             .orderBy("qid", "rank").collect()]
     assert got == want
+
+
+def test_regex_search_anchor_prefilter(spark):
+    from search_engine_spark.functions.tokenize import term_counts_sql
+    from search_engine_spark.operators.wildcard import regex_search
+    docs = spark.createDataFrame(
+        [(1, "spark join now"), (2, "spark  merge"), (3, "spark scan"),
+         (4, "xspark join"), (5, "join spark")],
+        "doc_id long, text string")
+    got = {r.doc_id for r in regex_search(
+        term_counts_sql(docs), docs, r"\bspark\s+(join|merge)",
+        "spark").collect()}
+    # 1: match; 2: multi-space \s+ match; 3: wrong verb; 4: token is
+    # "xspark" (anchor absent AND \b blocks the regex); 5: wrong order
+    assert got == {1, 2}
