@@ -776,6 +776,16 @@ REGEX_PATTERN = r"\bspark\s+(join|merge)"
 REGEX_ANCHOR = "spark"
 
 
+def q_pl2_topk(spark, sf_dir):
+    """PL2 divergence-from-randomness top-10 (operators/dfr.py) — the
+    fourth ranking family (BM25/SMART/LM-Dirichlet/DFR), ln-only math
+    with frozen LN2/2π literals for cross-engine bit parity."""
+    from .operators.dfr import pl2_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return pl2_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+
+
 def q_regex_match(spark, sf_dir):
     """Index-accelerated regex content search (operators/wildcard.py::
     regex_search): the anchor term's postings prune candidates before
@@ -2220,6 +2230,37 @@ FROM ok GROUP BY doc_id"""
     sql["dedup_stream"] = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1"""
+
+    sql["pl2_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+base AS (
+  SELECT q.qid, tc.doc_id, q.qtf::DOUBLE AS qtf,
+         (tc.tf::DOUBLE
+          * (ln(1.0 + 1.0 * (SELECT avgdl FROM adl) / ds.dl::DOUBLE)
+             / 0.6931471805599453)) AS tfn,
+         (ts.cf::DOUBLE / (SELECT n FROM n)) AS lam
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+hits AS (
+  SELECT qid, doc_id,
+         qtf * (1.0 / (tfn + 1.0))
+             * (tfn * (ln(tfn / lam) / 0.6931471805599453)
+                + (lam - tfn) * (1.0 / 0.6931471805599453)
+                + 0.5 * (ln(6.283185307179586 * tfn)
+                         / 0.6931471805599453)) AS partial
+  FROM base
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
     sql["regex_match"] = f"""
 SELECT doc_id FROM documents
@@ -3919,6 +3960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stream": q_dedup_stream,
     "term_stats_stopfiltered": q_term_stats_stopfiltered,
     "regex_match": q_regex_match,
+    "pl2_topk": q_pl2_topk,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,

@@ -171,3 +171,52 @@ def test_search_after_equals_deep_page(spark, built):
     assert [(r.doc_id, r.score) for r in page2] == \
         [(r.doc_id, r.score) for r in want]
     assert [r.rank for r in page2] == list(range(1, len(page2) + 1))
+
+
+def test_pl2_matches_bruteforce(spark, tiny_corpus):
+    """PL2 vs an independent per-doc python computation on the seeded
+    tiny corpus (frozen LN2/2π literals, round-6 before ranking)."""
+    import math
+    from collections import Counter
+
+    from search_engine_spark.functions.tokenize import (term_counts_sql,
+                                                        tokenize_py)
+    from search_engine_spark.operators.dfr import LN2, TWO_PI, pl2_topk
+    from search_engine_spark.operators.index_build import (doc_stats,
+                                                           term_stats)
+    from search_engine_spark.operators.query import query_terms_df
+    from tests.oracle import round_half_up
+
+    tw, rows = tiny_corpus
+    tc = term_counts_sql(tw)
+    ds = doc_stats(tc)
+    ts = term_stats(tc)
+    docs = {d: tokenize_py(t) for d, t in rows}
+    docs = {d: t for d, t in docs.items() if t}
+    n = len([1 for _, t in rows])
+    dl = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    cf = Counter(t for toks in docs.values() for t in toks)
+
+    query = [("q1", "a se b")]
+    qtf = Counter(tokenize_py(query[0][1]))
+    exp = {}
+    for d, toks in docs.items():
+        tfs = Counter(toks)
+        s = 0.0
+        for term, qt in qtf.items():
+            if term not in tfs:
+                continue
+            tfn = tfs[term] * (math.log(1.0 + 1.0 * avgdl / dl[d]) / LN2)
+            lam = cf[term] / n
+            s += qt * (1.0 / (tfn + 1.0)) * (
+                tfn * (math.log(tfn / lam) / LN2)
+                + (lam - tfn) * (1.0 / LN2)
+                + 0.5 * (math.log(TWO_PI * tfn) / LN2))
+        if s != 0.0:
+            exp[d] = round_half_up(s)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.doc_id, r.score) for r in
+           pl2_topk(tc, ds, ts, query_terms_df(spark, query),
+                    n, avgdl, k=10).orderBy("rank").collect()]
+    assert got == want
