@@ -776,6 +776,47 @@ REGEX_PATTERN = r"\bspark\s+(join|merge)"
 REGEX_ANCHOR = "spark"
 
 
+UPSERT_SUFFIX = " updated spark"
+UPSERT_MOD = 97
+
+
+def q_bm25_topk_upsert(spark, sf_dir):
+    """Document UPDATE serving — the missing letter of the CRUD
+    lifecycle (create = delta segments, read = every scorer, delete =
+    tombstones): every doc_id % 97 == 0 gets new text; the old version
+    is tombstone-compacted out of the MAIN segment
+    (operators/deletes.py::compact_deletes) and the new version ships
+    as a DELTA segment; bm25_topk_union serves both with global stats
+    recomputed over the updated corpus. Scores must equal a monolithic
+    rebuild over the updated corpus — the oracle is the plain BM25 SQL
+    with the same text substitution inlined."""
+    from .operators.deletes import compact_deletes
+    from .operators.query import bm25_topk_union
+    docs = _docs(spark, sf_dir)
+    is_upd = F.col("doc_id") % UPSERT_MOD == 0
+    updated = docs.select(
+        "doc_id",
+        F.when(is_upd, F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"))
+    n_docs = docs.count()
+    # main segment: original corpus, then tombstone-compact the updated
+    tc_orig = term_counts_sql(docs)
+    main = postings_blocked(tc_orig, n_docs, salt_buckets=8,
+                            ds=doc_stats(tc_orig))
+    main_live = compact_deletes(main, docs.where(is_upd).select("doc_id"),
+                                n_docs, salt_buckets=8)
+    # delta segment: the new versions only
+    tc_new = term_counts_sql(updated.where(is_upd))
+    delta = postings_blocked(tc_new, n_docs, salt_buckets=8,
+                             ds=doc_stats(tc_new))
+    # serve-time global stats come from the UPDATED corpus (stat
+    # loaders re-run on update; n_docs is unchanged — same ids)
+    ds_u = doc_stats(term_counts_sql(updated))
+    avgdl_u = float(ds_u.agg(F.avg("dl")).collect()[0][0])
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_topk_union([main_live, delta], q, n_docs, avgdl_u, k=10)
+
+
 def q_pl2_topk(spark, sf_dir):
     """PL2 divergence-from-randomness top-10 (operators/dfr.py) — the
     fourth ranking family (BM25/SMART/LM-Dirichlet/DFR), ln-only math
@@ -2230,6 +2271,16 @@ FROM ok GROUP BY doc_id"""
     sql["dedup_stream"] = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1"""
+
+    # UPDATE serving ≡ monolithic rebuild over the updated corpus: the
+    # plain BM25 oracle with the same text substitution inlined
+    _upsert_cte = (
+        "udocs AS (SELECT doc_id, CASE WHEN doc_id % "
+        f"{UPSERT_MOD} = 0 THEN text || '{UPSERT_SUFFIX}' ELSE text END "
+        "AS text FROM documents),\n")
+    sql["bm25_topk_upsert"] = (
+        _bm25_sql(k=10).replace("FROM documents", "FROM udocs")
+        .replace("WITH ", "WITH " + _upsert_cte, 1))
 
     sql["pl2_topk"] = f"""
 WITH {TOK_CTE},
@@ -3961,6 +4012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats_stopfiltered": q_term_stats_stopfiltered,
     "regex_match": q_regex_match,
     "pl2_topk": q_pl2_topk,
+    "bm25_topk_upsert": q_bm25_topk_upsert,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,
