@@ -776,6 +776,28 @@ REGEX_PATTERN = r"\bspark\s+(join|merge)"
 REGEX_ANCHOR = "spark"
 
 
+PCT_QS = [0.5, 0.9, 0.99]
+
+
+def q_dl_percentiles(spark, sf_dir):
+    """Percentiles aggregation (the ES `percentiles` agg): exact
+    linear-interpolated p50/p90/p99 of doc length per source facet.
+    Spark's exact `percentile` aggregate and DuckDB's `quantile_cont`
+    share the 1 + (n-1)q rank definition, so values match to the 6dp
+    round. Per-group state is bounded by DISTINCT dl values (a
+    histogram, not the row count) — safe at corpus scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    _tc_df, ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    dl = docs.join(ds.select("doc_id", "dl"), "doc_id", "inner")
+    agg = dl.groupBy("source").agg(
+        F.percentile("dl", F.lit(PCT_QS)).alias("_ps"))
+    pairs = F.arrays_zip(F.lit(PCT_QS).cast("array<double>").alias("pq"),
+                         F.col("_ps").alias("v"))
+    return (agg.select("source", F.explode(pairs).alias("_e"))
+            .select("source", F.col("_e.pq").alias("pq"),
+                    F.round(F.col("_e.v"), 6).alias("dl_pct")))
+
+
 UPSERT_SUFFIX = " updated spark"
 UPSERT_MOD = 97
 
@@ -2271,6 +2293,16 @@ FROM ok GROUP BY doc_id"""
     sql["dedup_stream"] = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1"""
+
+    _qs = ", ".join(str(x) for x in PCT_QS)
+    sql["dl_percentiles"] = f"""
+WITH {TOK_CTE},
+src AS (SELECT d.source, ds.dl FROM documents d
+        JOIN ds ON ds.doc_id = d.doc_id),
+agg AS (SELECT source, unnest([{_qs}]) AS pq,
+               unnest(quantile_cont(dl, [{_qs}])) AS v
+        FROM src GROUP BY source)
+SELECT source, pq, round(v, 6) AS dl_pct FROM agg"""
 
     # UPDATE serving ≡ monolithic rebuild over the updated corpus: the
     # plain BM25 oracle with the same text substitution inlined
@@ -4013,6 +4045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_match": q_regex_match,
     "pl2_topk": q_pl2_topk,
     "bm25_topk_upsert": q_bm25_topk_upsert,
+    "dl_percentiles": q_dl_percentiles,
     "doc_perplexity": q_doc_perplexity,
     "curation_pipeline": q_curation_pipeline,
     "embedding_filtered_topk": q_embedding_filtered_topk,
