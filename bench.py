@@ -329,7 +329,8 @@ def main() -> None:
              "repetition_stats", "pii_scrub", "conv_context",
              "chunk_docs", "hybrid_topk",
              "significant_terms", "percolate", "rescore_topk",
-             "date_histogram", "textrank_terms"]
+             "date_histogram", "textrank_terms",
+             "pl2_topk", "regex_match", "burst_events"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
