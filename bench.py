@@ -330,7 +330,9 @@ def main() -> None:
              "chunk_docs", "hybrid_topk",
              "significant_terms", "percolate", "rescore_topk",
              "date_histogram", "textrank_terms",
-             "pl2_topk", "regex_match", "burst_events"]
+             "pl2_topk", "regex_match", "burst_events",
+             "lm_jm_topk", "bm25plus_topk", "ltr_features",
+             "grouped_topk", "resharded_postings", "dsl_topk"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -102,6 +102,16 @@ FUZZY_DECAY = 0.5
 # arithmetic is bit-comparable before rounding.
 LM_MU = 500.0
 
+# Jelinek-Mercer interpolation weight λ on the collection model
+# (score uses the rank-equivalent odds ratio (1-λ)/λ; 0.5 keeps the
+# ratio exactly 1.0 so Spark/DuckDB double sequences are trivially
+# bit-identical, and sits in the standard 0.1–0.7 short-query range).
+LM_JM_LAMBDA = 0.5
+
+# BM25+ lower bound δ (Lv & Zhai, CIKM 2011): added to the tf
+# saturation term so long docs that match still outscore non-matches.
+BM25_PLUS_DELTA = 1.0
+
 # --- prefix / trailing-wildcard expansion (operators/wildcard.py) --------
 # Per-(qid, prefix) expansion cap: the top-df dictionary terms kept
 # (tie: term asc). Small enough that the sf0.01 hot one-letter prefix

@@ -26,8 +26,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .conf import (BM25_B, BM25_K1, COLLOC_MIN_COUNT, FUZZY_DECAY,
-                   FUZZY_MAX_DIST, FUZZY_SET, LM_MU, NEAR_WINDOW, NOT_SET,
+from .conf import (BM25_B, BM25_K1, BM25_PLUS_DELTA, COLLOC_MIN_COUNT,
+                   FUZZY_DECAY,
+                   FUZZY_MAX_DIST, FUZZY_SET, LM_JM_LAMBDA, LM_MU,
+                   NEAR_WINDOW, NOT_SET,
                    PHRASE_SET, PIVOT, PIVOT_SLOPE, PREFIX_MAX_EXPANSIONS,
                    PREFIX_SET, PRF_BETA, PRF_FB_DOCS, PRF_FB_TERMS,
                    QUERY_SET, SNIPPET_WINDOW, TOKEN_RE, TOP_K_TREC,
@@ -796,6 +798,144 @@ def q_dl_percentiles(spark, sf_dir):
     return (agg.select("source", F.explode(pairs).alias("_e"))
             .select("source", F.col("_e.pq").alias("pq"),
                     F.round(F.col("_e.v"), 6).alias("dl_pct")))
+
+
+def q_lm_jm_topk(spark, sf_dir):
+    """Query-likelihood ranking with Jelinek-Mercer smoothing
+    (operators/lm.py lm_jm_topk) — the second classic LM smoother
+    next to the Dirichlet gate, same query set and plan shape."""
+    from .operators.lm import lm_jm_topk
+    tc, ds, ts, _n, _a = _corpus(spark, sf_dir)
+    total = int(ds.agg(F.sum("dl")).collect()[0][0])
+    q = query_terms_df(spark, QUERY_SET)
+    return lm_jm_topk(tc, ds, ts, q, total, lam=LM_JM_LAMBDA, k=10)
+
+
+def q_bm25plus_topk(spark, sf_dir):
+    """BM25+ ranking (operators/query.py bm25plus_topk): δ-lower-
+    bounded tf saturation fixing long-doc over-penalization."""
+    from .operators.query import bm25plus_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25plus_topk(tc, ds, ts, q, n_docs, avgdl, k=10,
+                         delta=BM25_PLUS_DELTA)
+
+
+def q_ltr_features(spark, sf_dir):
+    """LTR feature extraction (operators/ltr.py): one feature vector
+    per (query, BM25-top-10 candidate) — run rank/score, LM score,
+    matched-term stats, dl, Σidf, query coverage. The training-data
+    emitter for a learned ranker, composed from gated relations."""
+    from .operators.ltr import ltr_features
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    total = int(ds.agg(F.sum("dl")).collect()[0][0])
+    q = query_terms_df(spark, QUERY_SET)
+    return ltr_features(tc, ds, ts, q, n_docs, avgdl, total,
+                        mu=LM_MU, k=10)
+
+
+# term-vector seed docs (present at every sf; doc_id < 500)
+TV_SEEDS = [7, 123, 404]
+
+
+def q_term_vectors(spark, sf_dir):
+    """Per-document term vectors (the ES `_termvectors` API): term,
+    tf, first position, and the full ascending position list (as a
+    canonical comma-joined string so the value gate pins every
+    position without array-hash ambiguity). Served by the positional
+    index machinery (operators/positional.py positional_postings)
+    with the seed-doc filter pushed under the tokenize."""
+    from .operators.positional import positional_postings
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isin(TV_SEEDS))
+    idx = positional_postings(docs)
+    return idx.select(
+        "doc_id", "term", "tf",
+        F.element_at("positions", 1).cast("int").alias("first_pos"),
+        F.array_join(F.col("positions").cast("array<string>"), ",")
+         .alias("positions"))
+
+
+def q_grouped_topk(spark, sf_dir):
+    """Top-3 hits per (query, source facet) cell — ES `top_hits`
+    sub-aggregation (operators/facets.py grouped_topk) over the BM25
+    candidate relation."""
+    from .operators.facets import grouped_topk
+    from .operators.query import bm25_scores
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    scored = bm25_scores(tc, ds, ts, q, n_docs, avgdl)
+    meta = _docs(spark, sf_dir).select("doc_id", "source")
+    return grouped_topk(scored, meta, "source", k=3)
+
+
+DL_HIST_WIDTH = 16
+
+
+def q_dl_histogram(spark, sf_dir):
+    """Fixed-width histogram aggregation over doc length (the ES
+    `histogram` agg): integer-floor bin = dl div 16, with count and
+    bin min/max. Pure JVM integer arithmetic — `div`, never double
+    division, so Spark and DuckDB agree at any magnitude (the
+    packing.py lesson)."""
+    _tc_df, ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    return (ds.select(F.expr(f"dl div {DL_HIST_WIDTH}").cast("long")
+                      .alias("bin"), "dl")
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("dl").cast("long").alias("min_dl"),
+                 F.max("dl").cast("long").alias("max_dl")))
+
+
+def q_resharded_postings(spark, sf_dir):
+    """Shard split WITHOUT retokenizing: the committed 8-bucket
+    blocked index is exploded back to its flat posting relation and
+    reassembled at 16 buckets (operators/index_build.py
+    explode_blocked → postings_blocked), the operation a cluster
+    doubling its executor count runs on an existing index. The gate
+    value-checks the resharded postings AND the recomputed per-term
+    df/cf against the from-scratch oracle, proving the split is
+    content-lossless."""
+    from .operators.index_build import explode_blocked, postings_blocked
+    tc, _ds, _ts, n_docs, _a = _corpus(spark, sf_dir)
+    idx8 = postings_blocked(tc, n_docs, salt_buckets=8)
+    idx16 = postings_blocked(explode_blocked(idx8), n_docs,
+                             salt_buckets=16)
+    return (idx16.select("term", "df", "cf",
+                         F.explode("postings").alias("p"))
+            .select("term", F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.tf").alias("tf"), "df", "cf"))
+
+
+# fixed boolean-DSL query set (operators/dsl.py): conjunction, phrase
+# + AND, grouped OR with exclusion, term OR phrase, nested groups with
+# an OOV exclusion (no-op NOT)
+DSL_SET = [
+    ("s001", "spark AND join"),
+    ("s002", '"table hash" AND fast'),
+    ("s003", "(hash OR table) NOT slow"),
+    ("s004", 'dup OR "window fast query"'),
+    ("s005", "spark AND (join OR scan) NOT zzzmissing"),
+]
+
+
+def q_dsl_topk(spark, sf_dir):
+    """Boolean query-DSL front end (operators/dsl.py): parse → one
+    shared leaf-matching pass → JVM boolean eval → BM25 over each
+    query's positive terms restricted to the boolean match set."""
+    from .operators.dsl import dsl_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    pos_idx = _pos_idx(spark, sf_dir)
+    return dsl_topk(spark, tc, ds, ts, pos_idx, DSL_SET,
+                    n_docs, avgdl, k=10)
+
+
+def q_err_eval(spark, sf_dir):
+    """Expected Reciprocal Rank @10 per judged query
+    (functions/evaluation.py err_at_k) — the cascade-model metric
+    next to MAP/P@k/nDCG/MRR/recall."""
+    from .functions.evaluation import err_at_k
+    results = q_bm25_topk(spark, sf_dir)
+    return err_at_k(results, _qrels(spark, sf_dir), k=10)
 
 
 UPSERT_SUFFIX = " updated spark"
@@ -2679,6 +2819,194 @@ ranked AS (SELECT qid, doc_id, score,
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
+    jm_ratio = (1.0 - LM_JM_LAMBDA) / LM_JM_LAMBDA
+    sql["lm_jm_topk"] = f"""
+WITH {TOK_CTE},
+cs AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+qd AS (SELECT q.qid, q.term, q.qtf, ts.cf FROM q JOIN ts USING (term)),
+jmh AS (
+  SELECT qd.qid, tc.doc_id,
+         qd.qtf * ln(1.0 + {jm_ratio!r} * (tc.tf::DOUBLE * (SELECT c FROM cs))
+                           / (ds.dl::DOUBLE * qd.cf::DOUBLE)) AS partial
+  FROM qd JOIN tc USING (term) JOIN ds USING (doc_id)),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM jmh GROUP BY 1, 2),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    one_minus_b = repr(1.0 - BM25_B)
+    sql["bm25plus_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+hits AS (
+  SELECT q.qid, tc.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0)
+                  / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+                  + {BM25_PLUS_DELTA!r})
+         AS partial
+  FROM q JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
+    sql["ltr_features"] = f"""
+WITH {_bm25_ctes()},
+cand AS (SELECT qid, doc_id, rank, score AS bm25 FROM ranked WHERE rank <= 10),
+cs2 AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+qd AS (SELECT q.qid, q.term, q.qtf, ts.cf FROM q JOIN ts USING (term)),
+ql AS (SELECT qid, sum(qtf)::DOUBLE AS qlen FROM qd GROUP BY qid),
+lmh AS (
+  SELECT qd.qid, tc.doc_id,
+         qd.qtf * ln(1.0 + tc.tf::DOUBLE * (SELECT c FROM cs2)
+                           / ({LM_MU!r} * qd.cf::DOUBLE)) AS partial
+  FROM qd JOIN tc USING (term)),
+lms AS (SELECT m.qid, m.doc_id,
+               round(m.s + ql.qlen * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r})), 6) AS lm
+        FROM (SELECT qid, doc_id, sum(partial) AS s FROM lmh GROUP BY 1, 2) m
+        JOIN ds USING (doc_id) JOIN ql USING (qid)),
+nq AS (SELECT qid, count(*)::BIGINT AS n_qterms FROM q GROUP BY 1),
+fh AS (SELECT q.qid, tc.doc_id, tc.tf,
+              ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5)) AS idf
+       FROM q JOIN tc USING (term) JOIN ts USING (term)),
+feats AS (SELECT qid, doc_id, count(*)::BIGINT AS n_matched,
+                 sum(tf)::BIGINT AS sum_tf, max(tf)::INT AS max_tf,
+                 round(sum(idf), 6) AS sum_idf
+          FROM fh GROUP BY 1, 2)
+SELECT cand.qid, cand.doc_id, cand.rank, cand.bm25, lms.lm,
+       feats.n_matched, feats.sum_tf, feats.max_tf, ds.dl, feats.sum_idf,
+       round(feats.n_matched / nq.n_qterms::DOUBLE, 6) AS coverage
+FROM cand JOIN lms USING (qid, doc_id) JOIN feats USING (qid, doc_id)
+JOIN ds USING (doc_id) JOIN nq USING (qid)"""
+
+    _tv_ids = ", ".join(str(d) for d in TV_SEEDS)
+    sql["term_vectors"] = f"""
+WITH {POSITIONS_CTE}
+SELECT doc_id, term, count(*)::INT AS tf, min(pos)::INT AS first_pos,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM tokp WHERE doc_id IN ({_tv_ids}) GROUP BY doc_id, term"""
+
+    sql["grouped_topk"] = f"""
+WITH {_bm25_ctes()},
+g AS (
+  SELECT s.qid, d.source AS "group", s.doc_id, s.score,
+         (row_number() OVER (PARTITION BY s.qid, d.source
+                             ORDER BY s.score DESC, s.doc_id))::INT AS grank
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT qid, "group", doc_id, grank, score FROM g WHERE grank <= 3"""
+
+    sql["dl_histogram"] = f"""
+WITH {TOK_CTE}
+SELECT (dl // {DL_HIST_WIDTH})::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+       min(dl)::BIGINT AS min_dl, max(dl)::BIGINT AS max_dl
+FROM ds GROUP BY 1"""
+
+    sql["resharded_postings"] = f"""
+WITH {TOK_CTE}
+SELECT tc.term, tc.doc_id, tc.tf, ts.df, ts.cf
+FROM tc JOIN ts USING (term)"""
+
+    # boolean-DSL oracle: the match sets are HAND-SPELLED per fixed
+    # query (EXISTS per term, the shared phrase CTE for quoted
+    # phrases) so the oracle never runs the parser under test
+    sql["dsl_topk"] = f"""
+WITH {TOK_CTE},
+{POSITIONS_CTE.strip().rstrip()},
+dphv(qid, term, off, nt) AS (VALUES
+        ('s002', 'table', 0, 2), ('s002', 'hash', 1, 2),
+        ('s004', 'window', 0, 3), ('s004', 'fast', 1, 3),
+        ('s004', 'query', 2, 3)),
+dstarts AS (SELECT dphv.qid, tokp.doc_id, tokp.pos - dphv.off AS start,
+                   dphv.off, dphv.nt
+            FROM dphv JOIN tokp USING (term) WHERE tokp.pos - dphv.off >= 1),
+docc AS (SELECT qid, doc_id, start FROM dstarts
+         GROUP BY qid, doc_id, start, nt HAVING count(DISTINCT off) = nt),
+dpm AS (SELECT DISTINCT qid, doc_id FROM docc),
+cand AS (
+  SELECT 's001' AS qid, d.doc_id FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'spark')
+    AND EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'join')
+  UNION ALL
+  SELECT 's002', d.doc_id FROM documents d
+  WHERE EXISTS (SELECT 1 FROM dpm WHERE dpm.qid = 's002' AND dpm.doc_id = d.doc_id)
+    AND EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'fast')
+  UNION ALL
+  SELECT 's003', d.doc_id FROM documents d
+  WHERE (EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'hash')
+         OR EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'table'))
+    AND NOT EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'slow')
+  UNION ALL
+  SELECT 's004', d.doc_id FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'dup')
+     OR EXISTS (SELECT 1 FROM dpm WHERE dpm.qid = 's004' AND dpm.doc_id = d.doc_id)
+  UNION ALL
+  SELECT 's005', d.doc_id FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'spark')
+    AND (EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'join')
+         OR EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'scan'))
+    AND NOT EXISTS (SELECT 1 FROM tc WHERE tc.doc_id = d.doc_id AND tc.term = 'zzzmissing')
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+qpos(qid, term, qtf) AS (VALUES
+        ('s001', 'join', 1), ('s001', 'spark', 1),
+        ('s002', 'fast', 1), ('s002', 'hash', 1), ('s002', 'table', 1),
+        ('s003', 'hash', 1), ('s003', 'table', 1),
+        ('s004', 'dup', 1), ('s004', 'fast', 1), ('s004', 'query', 1),
+        ('s004', 'window', 1),
+        ('s005', 'join', 1), ('s005', 'scan', 1), ('s005', 'spark', 1)),
+dhits AS (
+  SELECT qpos.qid, tc.doc_id,
+         qpos.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+                  * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                    / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM qpos JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+dscored AS (SELECT s.qid, s.doc_id, s.score
+            FROM (SELECT qid, doc_id, round(sum(partial), 6) AS score
+                  FROM dhits GROUP BY qid, doc_id) s
+            JOIN cand USING (qid, doc_id)),
+dranked AS (SELECT qid, doc_id, score,
+                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+            FROM dscored)
+SELECT qid, doc_id, rank, score FROM dranked WHERE rank <= 10"""
+
+    sql["err_eval"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+hit AS (SELECT r.qid, r.rank,
+               CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+        FROM runq r LEFT JOIN qrels qr USING (qid, doc_id)),
+cum AS (SELECT qid, rank, rel,
+               coalesce(sum(rel) OVER (PARTITION BY qid ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        FROM hit),
+perq AS (SELECT qid,
+                sum(CASE WHEN rel = 1
+                         THEN 0.5 * power(0.5, above) / rank
+                         ELSE 0.0 END) AS err
+         FROM cum GROUP BY qid),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1)
+SELECT nrel.qid, round(coalesce(perq.err, 0.0), 6) AS err, nrel.n_rel
+FROM nrel LEFT JOIN perq USING (qid)"""
+
     sql["prefix_terms"] = f"""
 WITH {TOK_CTE},
 pq(qid, prefix, qtf) AS (VALUES
@@ -4058,4 +4386,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_cells": q_kmeans_cells,
     "bm25_topk_delta": q_bm25_topk_delta,
     "vocab_growth": q_vocab_growth,
+    "lm_jm_topk": q_lm_jm_topk,
+    "bm25plus_topk": q_bm25plus_topk,
+    "err_eval": q_err_eval,
+    "ltr_features": q_ltr_features,
+    "term_vectors": q_term_vectors,
+    "grouped_topk": q_grouped_topk,
+    "dl_histogram": q_dl_histogram,
+    "resharded_postings": q_resharded_postings,
+    "dsl_topk": q_dsl_topk,
 }

@@ -136,3 +136,41 @@ def recall_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
                     "n_rel",
                     F.coalesce("n_ret_rel", F.lit(0)).cast("long")
                      .alias("n_ret_rel")))
+
+
+def err_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """(qid, err, n_rel) — Expected Reciprocal Rank @ k (Chapelle et
+    al., CIKM 2009) with binary relevance, next to MAP/P@k/nDCG/MRR.
+
+        ERR = Σ_{r≤k} (1/r) · R_r · Π_{i<r} (1 - R_i),
+        R   = (2^g - 1) / 2^g_max = 1/2 for a relevant doc, 0 else,
+
+    so with binary grades each relevant doc at rank r contributes
+    (1/r) · (1/2) · (1/2)^(relevant docs ranked above it) — the
+    cascade stop-probability model. Judged-query universe matches
+    per_query_ap (queries with ≥1 relevant doc; err = 0 when none is
+    retrieved).
+
+    Shape: one left join run ⨝ qrels, a per-qid cumulative count
+    window ordered by the run's own pinned rank, map-side-combinable
+    final sum. The window partitions on qid over ≤ k rows per query —
+    bounded by the run depth, never by the corpus.
+    """
+    r = results.where(F.col("rank") <= k)
+    hit = (r.join(qrels.withColumn("_rel", F.lit(1)), ["qid", "doc_id"], "left")
+           .withColumn("_rel", F.coalesce("_rel", F.lit(0))))
+    w = Window.partitionBy("qid").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, -1)
+    hit = hit.withColumn("_above", F.coalesce(F.sum("_rel").over(w), F.lit(0)))
+    contrib = F.when(
+        F.col("_rel") == 1,
+        F.lit(0.5) * F.pow(F.lit(0.5), F.col("_above")) / F.col("rank")
+    ).otherwise(F.lit(0.0))
+    per_q = (hit.select("qid", contrib.alias("_c"))
+             .groupBy("qid").agg(F.sum("_c").alias("_err")))
+    n_rel = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("n_rel"))
+    return (n_rel.join(per_q, "qid", "left")
+            .select("qid",
+                    F.round(F.coalesce(F.col("_err"), F.lit(0.0)), 6)
+                     .alias("err"),
+                    "n_rel"))

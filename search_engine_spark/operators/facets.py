@@ -194,3 +194,28 @@ def burst_scores(events: DataFrame, ts_col: str = "ts",
                     F.round("trail_avg", 6).alias("trail_avg"),
                     F.round(F.col("n_events").cast("double")
                             / F.col("trail_avg"), 6).alias("score")))
+
+
+def grouped_topk(scored: DataFrame, doc_meta: DataFrame, group_col: str,
+                 k: int = TOP_K_DEFAULT) -> DataFrame:
+    """(qid, group, doc_id, grank, score) — the top-k hits WITHIN each
+    (query, facet-group) cell: ES's `top_hits` sub-aggregation (one
+    result block per facet bucket), the per-group twin of
+    collapse_topk's one-per-group diversity rule.
+
+    Scores round to SCORE_DECIMALS before ordering (the _topk pin) so
+    ties resolve identically across engines. The single window
+    partitions on (qid, group) with a rank ≤ k predicate, so Spark's
+    WindowGroupLimit pushdown keeps per-partition state at k rows —
+    adding the group key only SHRINKS partitions vs the per-qid top-k
+    window already in every scorer. One broadcast-size join against
+    doc metadata; the scan stays pruned to (doc_id, group_col)."""
+    from .query import SCORE_DECIMALS
+    g = (scored.withColumn("score", F.round("score", SCORE_DECIMALS))
+         .join(doc_meta.select("doc_id", F.col(group_col).alias("group")),
+               "doc_id", "inner"))
+    w = Window.partitionBy("qid", "group").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (g.withColumn("grank", F.row_number().over(w).cast("int"))
+            .where(F.col("grank") <= k)
+            .select("qid", "group", "doc_id", "grank", "score"))

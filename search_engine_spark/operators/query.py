@@ -100,6 +100,35 @@ def bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                              k1=k1, b=b), k)
 
 
+def bm25plus_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                  qterms: DataFrame, n_docs: int, avgdl: float,
+                  k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
+                  b: float = BM25_B, delta: float = 1.0) -> DataFrame:
+    """Top-k BM25+ (Lv & Zhai, CIKM 2011): the tf-saturation term is
+    lower-bounded by δ, so a very long document that MATCHES a term
+    still beats one that doesn't —
+
+        partial = qtf · idf · ( tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) + δ )
+
+    fixing classic BM25's over-penalization of long docs. Identical
+    plan shape to bm25_scores (broadcast query dict, dl join, one
+    map-side-combined per-(qid, doc) sum, WindowGroupLimit top-k);
+    the δ literal is frozen to one Python double so the DuckDB oracle
+    runs the same addition before the 6-dp rounding."""
+    qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
+    hits = tc.join(qdict, "term", "inner").join(ds.select("doc_id", "dl"), "doc_id")
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm) + F.lit(float(delta))
+    partial = F.col("qtf") * _bm25_idf(F.col("df").cast("double"), n_docs) * sat
+    scored = (
+        hits.select("qid", "doc_id", partial.alias("partial"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, k)
+
+
 def bm25_topk_from_index(index: DataFrame, ds: DataFrame | None, qterms: DataFrame,
                          n_docs: int, avgdl: float, k: int = TOP_K_DEFAULT,
                          k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:

@@ -102,3 +102,45 @@ def test_recall_at_k_golden(spark, run_and_qrels):
     # k=1 keeps only the rank-1 hit
     top1 = {r.qid: r for r in recall_at_k(results, qrels, k=1).collect()}
     assert top1["q1"].recall == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_err_at_k_golden(spark, run_and_qrels):
+    from search_engine_spark.functions.evaluation import err_at_k
+    results, qrels = run_and_qrels
+    got = {r.qid: r for r in err_at_k(results, qrels, k=5).collect()}
+    # q1: rel at ranks 1 and 3 → 0.5/1 + 0.5·0.5/3 = 0.583333
+    assert got["q1"].err == pytest.approx(0.5 + 0.25 / 3, abs=1e-6)
+    assert got["q1"].n_rel == 3
+    # q2/q3: nothing relevant retrieved → 0, but still reported
+    assert got["q2"].err == 0.0 and got["q3"].err == 0.0
+    # k=1 keeps only q1's rank-1 contribution
+    top1 = {r.qid: r for r in err_at_k(results, qrels, k=1).collect()}
+    assert top1["q1"].err == pytest.approx(0.5, abs=1e-6)
+
+
+def test_bm25plus_beats_plain_on_long_match(spark):
+    """BM25+'s δ keeps a long matching doc above non-matching ones and
+    adds exactly qtf·idf·δ over plain BM25 per matched term."""
+    import math
+    from search_engine_spark.functions.tokenize import term_counts
+    from search_engine_spark.operators.index_build import doc_stats, term_stats
+    from search_engine_spark.operators.query import (bm25_topk, bm25plus_topk,
+                                                     query_terms_df)
+    long_doc = "x " * 50 + "needle"
+    tw = spark.createDataFrame(
+        [(0, long_doc), (1, "y y y"), (2, "needle z")],
+        "doc_id long, text string")
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    ts_ = term_stats(tc)
+    q = query_terms_df(spark, [("g1", "needle")])
+    n_docs, avgdl = 3, (51 + 3 + 2) / 3.0
+    plain = {r.doc_id: r.score for r in
+             bm25_topk(tc, ds, ts_, q, n_docs, avgdl, k=10).collect()}
+    plus = {r.doc_id: r.score for r in
+            bm25plus_topk(tc, ds, ts_, q, n_docs, avgdl, k=10,
+                          delta=1.0).collect()}
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    for d in (0, 2):
+        assert plus[d] == pytest.approx(plain[d] + idf, abs=2e-6)
+    assert 1 not in plus  # non-matching doc never scores

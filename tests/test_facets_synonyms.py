@@ -105,3 +105,24 @@ def test_filtered_topk_global_stats(spark):
         [1, 3], key=lambda d: (-full[d], d))
     for r in got:
         assert r.score == full[r.doc_id]  # filter never changes scores
+
+
+def test_grouped_topk_golden(spark):
+    """Per-(qid, group) top-k with the pinned (score desc, doc_id)
+    order and rank cut."""
+    from search_engine_spark.operators.facets import grouped_topk
+    scored = spark.createDataFrame(
+        [("q1", 1, 5.0), ("q1", 2, 4.0), ("q1", 3, 3.0), ("q1", 4, 3.0),
+         ("q1", 5, 2.0), ("q2", 1, 1.0)],
+        "qid string, doc_id long, score double")
+    meta = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")],
+        "doc_id long, source string")
+    got = {(r.qid, r.group, r.grank): (r.doc_id, r.score) for r in
+           grouped_topk(scored, meta, "source", k=2).collect()}
+    assert got[("q1", "a", 1)] == (1, 5.0)
+    assert got[("q1", "a", 2)] == (2, 4.0)        # doc 3 cut at k=2
+    assert got[("q1", "b", 1)] == (4, 3.0)
+    assert got[("q1", "b", 2)] == (5, 2.0)
+    assert got[("q2", "a", 1)] == (1, 1.0)
+    assert len(got) == 5

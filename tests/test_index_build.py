@@ -170,3 +170,24 @@ def test_salted_span_default_equals_simple(built, tiny_corpus):
                     key=lambda r: (r.term, r.block_no)):
         rebuilt.setdefault(r.term, []).extend((p.doc_id, p.tf) for p in r.postings)
     assert rebuilt == {t: v[0] for t, v in simple.items()}
+
+
+def test_reshard_blocked_index_lossless(spark, tiny_corpus):
+    """explode → reassemble at a different salt fan-out preserves the
+    flat posting relation and the per-term df/cf exactly (the shard-
+    split operation for a grown cluster)."""
+    from search_engine_spark.functions.tokenize import term_counts
+    from search_engine_spark.operators.index_build import (
+        explode_blocked, postings_blocked, term_stats)
+    tw, _rows = tiny_corpus
+    tc = term_counts(tw)
+    n_docs = tw.count()
+    idx4 = postings_blocked(tc, n_docs, salt_buckets=4)
+    idx16 = postings_blocked(explode_blocked(idx4), n_docs, salt_buckets=16)
+    orig = {(r.doc_id, r.term, r.tf) for r in tc.collect()}
+    resh = {(r.doc_id, r.term, r.tf) for r in explode_blocked(idx16).collect()}
+    assert resh == orig
+    ts_orig = {(r.term, r.df, r.cf) for r in term_stats(tc).collect()}
+    ts_resh = {(r.term, r.df, r.cf) for r in
+               idx16.select("term", "df", "cf").distinct().collect()}
+    assert ts_resh == ts_orig

@@ -95,3 +95,66 @@ def test_lm_golden_micro(spark):
                                        key=lambda x: (-x[0], x[1]))]
     got_order = sorted(got, key=lambda d: got[d][0])
     assert got_order == want_order
+
+
+def test_lm_jm_golden_micro(spark):
+    """JM smoothing, same 2-doc micro corpus: λ=0.5 → odds ratio 1;
+    score(d) = Σ qtf·ln(1 + (tf·C)/(dl·cf))."""
+    from search_engine_spark.operators.lm import lm_jm_topk
+    tw = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string")
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    ts_ = term_stats(tc)
+    q = query_terms_df(spark, [("g1", "a c")])
+    got = {r.doc_id: r.score for r in
+           lm_jm_topk(tc, ds, ts_, q, 5, lam=0.5, k=10).collect()}
+    # doc 0: matched a (tf 2, cf 2, dl 3) → ln(1 + 2·5/(3·2))
+    s0 = round_half_up(math.log(1.0 + 1.0 * (2 * 5.0) / (3 * 2.0)), 6)
+    # doc 1: matched c (tf 1, cf 1, dl 2) → ln(1 + 1·5/(2·1))
+    s1 = round_half_up(math.log(1.0 + 1.0 * (1 * 5.0) / (2 * 1.0)), 6)
+    assert got[0] == pytest.approx(s0, abs=1e-9)
+    assert got[1] == pytest.approx(s1, abs=1e-9)
+
+
+def test_lm_jm_python_oracle(spark, tiny_corpus):
+    """JM vs a pure-Python sparse oracle on the seeded tiny corpus."""
+    from search_engine_spark.operators.lm import lm_jm_topk
+    tw, rows = tiny_corpus
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    ts_ = term_stats(tc)
+    total = sum(len(tokenize_py(t)) for _, t in rows)
+    vocab = sorted({t for _, x in rows for t in tokenize_py(x)})
+    query_set = [("j001", f"{vocab[0]} {vocab[len(vocab) // 2]}"),
+                 ("j002", f"{vocab[1]} {vocab[1]}")]
+    lam = 0.5
+    ratio = (1.0 - lam) / lam
+    tcd: dict[tuple[int, str], int] = defaultdict(int)
+    dl: dict[int, int] = defaultdict(int)
+    cf: dict[str, int] = defaultdict(int)
+    for doc_id, text in rows:
+        for t in tokenize_py(text):
+            tcd[(doc_id, t)] += 1
+            dl[doc_id] += 1
+            cf[t] += 1
+    exp = {}
+    for qid, title in query_set:
+        qq = {t: f for t, f in Counter(tokenize_py(title)).items() if t in cf}
+        s: dict[int, float] = defaultdict(float)
+        for t, qtf in qq.items():
+            for (d, tt), tf in tcd.items():
+                if tt == t:
+                    s[d] += qtf * math.log(
+                        1.0 + ratio * (tf * float(total)) / (dl[d] * cf[t]))
+        scored = sorted([(round_half_up(v, 6), d) for d, v in s.items()],
+                        key=lambda x: (-x[0], x[1]))[:10]
+        exp[qid] = scored
+    q = query_terms_df(spark, query_set)
+    got = defaultdict(list)
+    res = lm_jm_topk(tc, ds, ts_, q, total, lam=lam, k=10)
+    for r in res.orderBy("qid", "rank").collect():
+        got[r.qid].append((r.score, r.doc_id))
+    for qid, want in exp.items():
+        assert got.get(qid, []) == [(pytest.approx(s, abs=1e-9), d)
+                                    for s, d in want], qid
