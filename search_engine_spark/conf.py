@@ -225,3 +225,35 @@ FUZZY_SET: list[tuple[str, str]] = [
     ("z005", "zzzmissing"),
     ("z006", "dup fast fast"),
 ]
+
+# --- MMR result diversification (operators/diversify.py) ----------------
+# λ trades relevance vs redundancy; 0.5 is exactly representable so
+# Spark, DuckDB and the pandas greedy loop agree bit-wise. The pool is
+# the per-query candidate set the greedy pass selects from — bounded
+# by config, never by the corpus.
+MMR_LAMBDA = 0.5
+MMR_POOL = 20
+
+# --- rank-biased overlap (functions/evaluation.py rbo_at_depth) ---------
+# Persistence p: 0.5 (vs the classic 0.9) makes every p^(d-1) weight an
+# exact power of two — cross-engine bit-identity; truncated tail mass
+# at depth 10 is <= 2^-10.
+RBO_P = 0.5
+RBO_DEPTH = 10
+
+# --- temperature mixture sampling (operators/fusion.py) -----------------
+# Source mass after sampling ∝ n^MIX_ALPHA (the multilingual-LM
+# sampling temperature); 0.5 exactly representable.
+MIX_ALPHA = 0.5
+
+# --- span-first matching (operators/positional.py) ----------------------
+# Query term must occur within the first N token positions (1-based).
+SPAN_FIRST_N = 5
+
+# --- sequential dependence model (operators/sdm.py) ----------------------
+# Metzler & Croft's published interpolation weights; parsed from the
+# same decimal literals by Spark, DuckDB and Python, so all engines
+# score with the identical doubles.
+SDM_LAMBDA_T = 0.85
+SDM_LAMBDA_O = 0.1
+SDM_LAMBDA_U = 0.05

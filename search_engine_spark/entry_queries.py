@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 from .conf import (BM25_B, BM25_K1, BM25_PLUS_DELTA, COLLOC_MIN_COUNT,
                    FUZZY_DECAY,
                    FUZZY_MAX_DIST, FUZZY_SET, LM_JM_LAMBDA, LM_MU,
+                   MIX_ALPHA, MMR_LAMBDA, MMR_POOL,
                    NEAR_WINDOW, NOT_SET,
                    PHRASE_SET, PIVOT, PIVOT_SLOPE, PREFIX_MAX_EXPANSIONS,
                    PREFIX_SET, PRF_BETA, PRF_FB_DOCS, PRF_FB_TERMS,
-                   QUERY_SET, SNIPPET_WINDOW, TOKEN_RE, TOP_K_TREC,
+                   QUERY_SET, RBO_DEPTH, RBO_P, SNIPPET_WINDOW, SPAN_FIRST_N,
+                   TOKEN_RE, TOP_K_TREC,
                    load_stopwords)
 from .functions.tokenize import term_counts_sql, tokenize_py
 from .operators import dedup, similarity, textstats
@@ -2191,6 +2193,206 @@ FROM (
 )"""
 
 
+# ---------------------------------------------------------------------
+# sixth wave: stemming, score fusion, MMR diversification, RBO,
+# temperature mixing, span-first
+# ---------------------------------------------------------------------
+
+# The synthetic vocabulary (TESTDATA.md) happens to contain no plural
+# surface forms, so the stemming gates run over a DETERMINISTICALLY
+# PLURALIZED corpus variant — every doc_id % PLURALIZE_MOD == 0 has
+# these whole-word literals rewritten (both engines apply the same
+# rewrite) — making conflation real: stemmed df/cf and the stemmed
+# BM25 ranking genuinely differ from the unstemmed ones.
+PLURALIZE_MOD = 3
+PLURAL_MAP = [("query", "queries"), ("join", "joins"), ("table", "tables")]
+
+
+def _pluralized_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    txt = F.col("text")
+    for a, b in PLURAL_MAP:
+        txt = F.regexp_replace(txt, a, b)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % PLURALIZE_MOD == 0, txt)
+         .otherwise(F.col("text")).alias("text"))
+
+
+def _stemmed_corpus(spark, sf_dir):
+    """(stc, pds, sts, n_docs, avgdl) — S-stemmed term counts + stats
+    over the pluralized corpus variant, memoized+persisted per session
+    like _corpus (the stemming gates share it). The stem itself is a
+    projection + one re-count groupBy on the tokenize output."""
+    from .operators.stemming import stemmed_term_counts
+    key = (spark.sparkContext.applicationId, sf_dir, "stem")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is None:
+        pd_docs = _pluralized_docs(spark, sf_dir)
+        ptc = term_counts_sql(pd_docs)
+        stc = stemmed_term_counts(ptc).persist()
+        pds = doc_stats(ptc).persist()
+        sts = term_stats(stc)
+        n_docs = pd_docs.count()
+        avgdl = float(pds.agg(F.avg("dl")).collect()[0][0])
+        hit = (stc, pds, sts, n_docs, avgdl)
+        _CORPUS_CACHE[key] = hit
+    return hit
+
+
+def q_stemmed_term_stats(spark, sf_dir):
+    """Dictionary statistics over the S-stemmed term space
+    (operators/stemming.py) — the term-conflation channel standing in
+    for the reference's lemma indexing
+    (/root/reference/src/invertedIndex.py:40-69): plural variants
+    merge, so df/cf aggregate across surface forms."""
+    _, _, sts, _, _ = _stemmed_corpus(spark, sf_dir)
+    return sts
+
+
+def q_bm25_topk_stemmed(spark, sf_dir):
+    """BM25 over the stemmed index with query-side stemming — variant
+    conflation changes df and per-doc tf, so this is a genuinely
+    different ranking from bm25_topk, value-gated against the stemmed
+    oracle twin."""
+    from .operators.stemming import s_stem_py
+    stc, ds, sts, n_docs, avgdl = _stemmed_corpus(spark, sf_dir)
+    rows = []
+    for qid, title in QUERY_SET:
+        for term, qtf in sorted(Counter(
+                s_stem_py(t) for t in tokenize_py(title)).items()):
+            rows.append((qid, term, qtf))
+    q = spark.createDataFrame(rows, "qid string, term string, qtf int")
+    return bm25_topk(stc, ds, sts, q, n_docs, avgdl, k=10)
+
+
+def q_combsum_topk(spark, sf_dir):
+    """CombSUM score fusion (operators/fusion.py comb_fuse) of the
+    BM25 and Dirichlet-QL top-10 runs — min-max normalized per qid,
+    summed."""
+    from .operators.fusion import comb_fuse
+    a = q_bm25_topk(spark, sf_dir).select("qid", "doc_id", "score")
+    b = q_lm_topk(spark, sf_dir).select("qid", "doc_id", "score")
+    return comb_fuse(a, b, mnz=False, k=10)
+
+
+def q_combmnz_topk(spark, sf_dir):
+    """CombMNZ — CombSUM times the match count, rewarding docs both
+    retrievers agree on."""
+    from .operators.fusion import comb_fuse
+    a = q_bm25_topk(spark, sf_dir).select("qid", "doc_id", "score")
+    b = q_lm_topk(spark, sf_dir).select("qid", "doc_id", "score")
+    return comb_fuse(a, b, mnz=True, k=10)
+
+
+def q_mmr_topk(spark, sf_dir):
+    """MMR diversification (operators/diversify.py): greedy λ=0.5
+    re-rank of the cosine top-20 pool per embedding query, gated
+    against a DuckDB recursive-CTE oracle running the same greedy
+    selection."""
+    from .operators.diversify import mmr_topk
+    return mmr_topk(_emb(spark, sf_dir), n_queries=5, k=10,
+                    pool=MMR_POOL, lam=MMR_LAMBDA)
+
+
+def q_rbo_eval(spark, sf_dir):
+    """Truncated rank-biased overlap @10 between the BM25 and
+    Dirichlet-QL rankings (functions/evaluation.py rbo_at_depth) —
+    the top-weighted rank-similarity diagnostic for comparing two
+    retrievers without judgments."""
+    from .functions.evaluation import rbo_at_depth
+    a = q_bm25_topk(spark, sf_dir).select("qid", "doc_id", "rank")
+    b = q_lm_topk(spark, sf_dir).select("qid", "doc_id", "rank")
+    return rbo_at_depth(a, b, depth=RBO_DEPTH, p=RBO_P)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-based source mixing over the documents corpus
+    (operators/fusion.py mixture_sample): per-language mass after
+    sampling ∝ n^0.5, enforced by the portable md5 coin."""
+    from .operators.fusion import mixture_sample
+    return mixture_sample(_docs(spark, sf_dir), "lang", "doc_id",
+                          alpha=MIX_ALPHA)
+
+
+def q_span_first(spark, sf_dir):
+    """Span-first matching (operators/positional.py
+    span_first_matches): query terms occurring within the first
+    SPAN_FIRST_N token positions — the leading-text match filter."""
+    from .operators.positional import span_first_matches
+    q = query_terms_df(spark, QUERY_SET).select("qid", "term").distinct()
+    return span_first_matches(_pos_idx(spark, sf_dir), q, SPAN_FIRST_N)
+
+
+def q_sdm_topk(spark, sf_dir):
+    """Sequential Dependence Model ranking (operators/sdm.py): the
+    λ-weighted Dirichlet mixture of unigram + exact-ordered-bigram +
+    unordered-window-8 channels over QUERY_SET — the term-dependence
+    capstone composing the LM, bigram-index and banded-proximity
+    machinery into one scorer."""
+    from .operators.bigrams import bigram_counts
+    from .operators.sdm import sdm_pairs_df, sdm_topk
+    tc, ds, ts, _, _ = _corpus(spark, sf_dir)
+    bc = bigram_counts(_docs(spark, sf_dir))
+    q = query_terms_df(spark, QUERY_SET)
+    pairs = sdm_pairs_df(spark, QUERY_SET)
+    totals = ds.agg(
+        F.sum("dl").alias("ct"),
+        F.sum(F.greatest(F.col("dl") - 1, F.lit(0))).alias("co")).collect()[0]
+    return sdm_topk(tc, ds, ts, q, bc, _pos_idx(spark, sf_dir), pairs,
+                    int(totals["ct"]), int(totals["co"]), k=10)
+
+
+def _sdm_pair_values() -> str:
+    """(qid, term_a, term_b, ptf) VALUES mirroring sdm_pairs_df."""
+    rows = []
+    for qid, title in QUERY_SET:
+        toks = tokenize_py(title)
+        pairs = Counter((a, b) for a, b in zip(toks, toks[1:]) if a != b)
+        for (a, b), ptf in sorted(pairs.items()):
+            rows.append(f"('{qid}', '{a}', '{b}', {ptf})")
+    return ",\n        ".join(rows)
+
+
+def _stemmed_qterms_values() -> str:
+    from .operators.stemming import s_stem_py
+    rows = []
+    for qid, title in QUERY_SET:
+        for term, qtf in sorted(Counter(
+                s_stem_py(t) for t in tokenize_py(title)).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return ",\n        ".join(rows)
+
+
+def _span_qterm_values() -> str:
+    rows = []
+    for qid, title in QUERY_SET:
+        for term in sorted(set(tokenize_py(title))):
+            rows.append(f"('{qid}', '{term}')")
+    return ",\n        ".join(rows)
+
+
+def _lm_run_ctes() -> str:
+    """CTE chain ending in `lmranked` — the Dirichlet-QL run, the
+    DuckDB twin of q_lm_topk. Assumes _bm25_ctes' tc/ds/ts/q are in
+    scope (shared by the rrf/comb/rbo fusion oracles)."""
+    return f"""lmcs AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+lmqd AS (SELECT q.qid, q.term, q.qtf, ts.cf FROM q JOIN ts USING (term)),
+lmql AS (SELECT qid, sum(qtf)::DOUBLE AS qlen FROM lmqd GROUP BY qid),
+lmh AS (
+  SELECT lmqd.qid, tc.doc_id,
+         lmqd.qtf * ln(1.0 + tc.tf::DOUBLE * (SELECT c FROM lmcs)
+                             / ({LM_MU!r} * lmqd.cf::DOUBLE)) AS partial
+  FROM lmqd JOIN tc USING (term)),
+lmm AS (SELECT qid, doc_id, sum(partial) AS s FROM lmh GROUP BY 1, 2),
+lmscored AS (SELECT lmm.qid, lmm.doc_id,
+                    round(lmm.s + lmql.qlen * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r})), 6) AS score
+             FROM lmm JOIN ds USING (doc_id) JOIN lmql USING (qid)),
+lmranked AS (SELECT qid, doc_id, score,
+                    (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+             FROM lmscored)"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     stop_in = ", ".join(f"'{w}'" for w in sorted(load_stopwords()))
     en_in = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
@@ -4256,6 +4458,217 @@ SELECT user_id::VARCHAR AS user_id,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM sess GROUP BY user_id, sess_no"""
 
+    from .functions.evaluation import rbo_weights
+    from .operators.stemming import s_stem_sql
+
+    plural_expr = "text"
+    for pa, pb in PLURAL_MAP:
+        plural_expr = f"replace({plural_expr}, '{pa}', '{pb}')"
+    stem_ctes = f"""pdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PLURALIZE_MOD} = 0 THEN {plural_expr}
+              ELSE text END AS text
+  FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM pdocs),
+ptc AS (SELECT doc_id, term, count(*)::INT AS tf FROM ptok GROUP BY 1, 2),
+pds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM ptc GROUP BY doc_id),
+stc AS (SELECT doc_id, {s_stem_sql('term')} AS term, sum(tf)::INT AS tf
+       FROM ptc GROUP BY 1, 2),
+sts AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+        FROM stc GROUP BY term)"""
+
+    sql["stemmed_term_stats"] = f"""
+WITH {stem_ctes}
+SELECT term, df, cf FROM sts"""
+
+    sql["bm25_topk_stemmed"] = f"""
+WITH {stem_ctes},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM pds),
+sq(qid, term, qtf) AS (VALUES
+        {_stemmed_qterms_values()}),
+shits AS (
+  SELECT sq.qid, stc.doc_id,
+         sq.qtf * ln(1.0 + ((SELECT n FROM n) - sts.df::DOUBLE + 0.5) / (sts.df::DOUBLE + 0.5))
+               * (stc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (stc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * pds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM sq JOIN stc USING (term) JOIN sts USING (term) JOIN pds USING (doc_id)
+),
+sscored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+            FROM shits GROUP BY qid, doc_id),
+sranked AS (SELECT qid, doc_id, score,
+                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+            FROM sscored)
+SELECT qid, doc_id, rank, score FROM sranked WHERE rank <= 10"""
+
+    comb_norm = """ra AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= 10),
+rb AS (SELECT qid, doc_id, score FROM lmranked WHERE rank <= 10),
+na AS (SELECT qid, doc_id,
+              CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 0.0 END AS a_norm
+       FROM (SELECT qid, doc_id, score,
+                    min(score) OVER (PARTITION BY qid) AS mn,
+                    max(score) OVER (PARTITION BY qid) AS mx FROM ra)),
+nb AS (SELECT qid, doc_id,
+              CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 0.0 END AS b_norm
+       FROM (SELECT qid, doc_id, score,
+                    min(score) OVER (PARTITION BY qid) AS mn,
+                    max(score) OVER (PARTITION BY qid) AS mx FROM rb)),
+cj AS (SELECT coalesce(na.qid, nb.qid) AS qid,
+              coalesce(na.doc_id, nb.doc_id) AS doc_id, a_norm, b_norm
+       FROM na FULL OUTER JOIN nb ON na.qid = nb.qid AND na.doc_id = nb.doc_id)"""
+    mnz_mul = (" * (CASE WHEN a_norm IS NOT NULL THEN 1 ELSE 0 END"
+               " + CASE WHEN b_norm IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE")
+    for comb_name, mul in (("combsum_topk", ""), ("combmnz_topk", mnz_mul)):
+        sql[comb_name] = f"""
+WITH {_bm25_ctes()},
+{_lm_run_ctes()},
+{comb_norm},
+fsc AS (SELECT qid, doc_id,
+               round((coalesce(a_norm, 0.0) + coalesce(b_norm, 0.0)){mul}, 6) AS score
+        FROM cj),
+frk AS (SELECT qid, doc_id, score,
+               (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+        FROM fsc)
+SELECT qid, doc_id, rank, score FROM frk WHERE rank <= 10"""
+
+    w_tail = rbo_weights(RBO_DEPTH, RBO_P)
+    w_case = " ".join(f"WHEN {m} THEN {w_tail[m]!r}"
+                      for m in range(1, RBO_DEPTH + 1))
+    sql["rbo_eval"] = f"""
+WITH {_bm25_ctes()},
+{_lm_run_ctes()},
+ra AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {RBO_DEPTH}),
+rb AS (SELECT qid, doc_id, rank FROM lmranked WHERE rank <= {RBO_DEPTH}),
+mm AS (SELECT ra.qid, CASE greatest(ra.rank, rb.rank) {w_case} END AS w
+       FROM ra JOIN rb USING (qid, doc_id)),
+ws AS (SELECT qid, sum(w) AS s FROM mm GROUP BY qid)
+SELECT u.qid, round({1.0 - RBO_P!r} * coalesce(ws.s, 0.0), 6) AS rbo
+FROM (SELECT DISTINCT qid FROM ra) u LEFT JOIN ws USING (qid)"""
+
+    sql["mixture_sample"] = f"""
+WITH cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n)::DOUBLE AS n_min FROM cnt),
+thr AS (SELECT lang,
+               floor(power((SELECT n_min FROM mn) / n::DOUBLE, {1.0 - MIX_ALPHA!r}) * 1e6)::BIGINT AS t
+        FROM cnt)
+SELECT doc_id, lang FROM documents JOIN thr USING (lang)
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < t"""
+
+    sql["span_first"] = f"""
+WITH {POSITIONS_CTE},
+sq(qid, term) AS (VALUES
+        {_span_qterm_values()}),
+fp AS (SELECT term, doc_id, min(pos)::INT AS first_pos
+       FROM tokp GROUP BY term, doc_id)
+SELECT sq.qid, sq.term, fp.doc_id, fp.first_pos
+FROM sq JOIN fp USING (term)
+WHERE fp.first_pos <= {SPAN_FIRST_N}"""
+
+    from .conf import (NEAR_WINDOW as _W, SDM_LAMBDA_O, SDM_LAMBDA_T,
+                       SDM_LAMBDA_U)
+    sql["sdm_topk"] = f"""
+WITH {TOK_CTE},
+{POSITIONS_CTE},
+c_t AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+c_o AS (SELECT sum(greatest(dl - 1, 0))::DOUBLE AS c FROM ds),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+uq AS (SELECT q.qid, q.term, q.qtf, ts.cf FROM q JOIN ts USING (term)),
+un AS (SELECT qid, sum(qtf)::DOUBLE AS qlen FROM uq GROUP BY qid),
+um AS (SELECT uq.qid, tc.doc_id,
+              sum(uq.qtf * ln(1.0 + tc.tf::DOUBLE * (SELECT c FROM c_t)
+                                    / ({LM_MU!r} * uq.cf::DOUBLE))) AS s
+       FROM uq JOIN tc USING (term) GROUP BY 1, 2),
+st AS (SELECT um.qid, um.doc_id,
+              um.s + un.qlen * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r})) AS st
+       FROM um JOIN ds USING (doc_id) JOIN un USING (qid)),
+pq(qid, term_a, term_b, ptf) AS (VALUES
+        {_sdm_pair_values()}),
+ob AS (SELECT pq.qid, pq.term_a, pq.term_b, pq.ptf, t1.doc_id,
+              count(*)::INT AS otf
+       FROM pq JOIN tokp t1 ON t1.term = pq.term_a
+               JOIN tokp t2 ON t2.doc_id = t1.doc_id
+                           AND t2.pos = t1.pos + 1 AND t2.term = pq.term_b
+       GROUP BY 1, 2, 3, 4, 5),
+ocf AS (SELECT qid, term_a, term_b, ptf, sum(otf)::BIGINT AS cf
+        FROM ob GROUP BY 1, 2, 3, 4),
+onq AS (SELECT qid, sum(ptf)::DOUBLE AS n FROM ocf GROUP BY qid),
+om AS (SELECT ob.qid, ob.doc_id,
+              sum(ob.ptf * ln(1.0 + ob.otf::DOUBLE * (SELECT c FROM c_o)
+                                    / ({LM_MU!r} * ocf.cf::DOUBLE))) AS s
+       FROM ob JOIN ocf USING (qid, term_a, term_b, ptf) GROUP BY 1, 2),
+wb AS (SELECT pq.qid, pq.term_a, pq.term_b, pq.ptf, t1.doc_id,
+              count(*)::INT AS wtf
+       FROM pq JOIN tokp t1 ON t1.term = pq.term_a
+               JOIN tokp t2 ON t2.doc_id = t1.doc_id AND t2.term = pq.term_b
+       WHERE abs(t1.pos - t2.pos) <= {_W - 1}
+       GROUP BY 1, 2, 3, 4, 5),
+wcf AS (SELECT qid, term_a, term_b, ptf, sum(wtf)::BIGINT AS cf
+        FROM wb GROUP BY 1, 2, 3, 4),
+wnq AS (SELECT qid, sum(ptf)::DOUBLE AS n FROM wcf GROUP BY qid),
+wm AS (SELECT wb.qid, wb.doc_id,
+              sum(wb.ptf * ln(1.0 + wb.wtf::DOUBLE * (SELECT c FROM c_o)
+                                    / ({LM_MU!r} * wcf.cf::DOUBLE))) AS s
+       FROM wb JOIN wcf USING (qid, term_a, term_b, ptf) GROUP BY 1, 2),
+allsc AS (
+  SELECT st.qid, st.doc_id,
+         {SDM_LAMBDA_T!r} * st.st
+         + {SDM_LAMBDA_O!r} * (coalesce(om.s, 0.0)
+              + coalesce(onq.n, 0.0) * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r})))
+         + {SDM_LAMBDA_U!r} * (coalesce(wm.s, 0.0)
+              + coalesce(wnq.n, 0.0) * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r}))) AS score
+  FROM st JOIN ds USING (doc_id)
+       LEFT JOIN om ON om.qid = st.qid AND om.doc_id = st.doc_id
+       LEFT JOIN wm ON wm.qid = st.qid AND wm.doc_id = st.doc_id
+       LEFT JOIN onq ON onq.qid = st.qid
+       LEFT JOIN wnq ON wnq.qid = st.qid),
+sdmsc AS (SELECT qid, doc_id, round(score, 6) AS score FROM allsc),
+sdmr AS (SELECT qid, doc_id, score,
+                (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+         FROM sdmsc)
+SELECT qid, doc_id, rank, score FROM sdmr WHERE rank <= 10"""
+
+    sql["mmr_topk"] = f"""
+WITH RECURSIVE
+mq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+mc AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+mscored AS (
+  SELECT qid, vec_id, round(list_cosine_similarity(qv, cv), 4) AS rel
+  FROM mq, mc WHERE vec_id != qid),
+mcand AS (
+  SELECT qid, vec_id, rel FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+    FROM mscored) WHERE rn <= {MMR_POOL}),
+mps AS (
+  SELECT a.qid, a.vec_id AS v1, b.vec_id AS v2,
+         round(list_cosine_similarity(av.cv, bv.cv), 4) AS sim
+  FROM mcand a JOIN mcand b ON a.qid = b.qid AND a.vec_id != b.vec_id
+  JOIN mc av ON av.vec_id = a.vec_id JOIN mc bv ON bv.vec_id = b.vec_id),
+msel(qid, vec_id, rank, mmr, picked) AS (
+  SELECT qid, vec_id, 1, round({MMR_LAMBDA!r} * rel, 6), [vec_id] FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY round({MMR_LAMBDA!r} * rel, 6) DESC, vec_id) AS rn
+    FROM mcand) WHERE rn = 1
+  UNION ALL
+  SELECT s.qid, nxt.vec_id, s.rank + 1, nxt.mmr, list_append(s.picked, nxt.vec_id)
+  FROM msel s, LATERAL (
+    SELECT cc.vec_id,
+           round({MMR_LAMBDA!r} * cc.rel - {1.0 - MMR_LAMBDA!r} * (
+             SELECT max(mps.sim) FROM mps
+             WHERE mps.qid = s.qid AND mps.v1 = cc.vec_id
+               AND list_contains(s.picked, mps.v2)), 6) AS mmr
+    FROM mcand cc
+    WHERE cc.qid = s.qid AND NOT list_contains(s.picked, cc.vec_id)
+    ORDER BY mmr DESC, cc.vec_id LIMIT 1
+  ) nxt
+  WHERE s.rank < 10
+)
+SELECT qid, vec_id, rank::INT AS rank, mmr FROM msel"""
+
     return sql
 
 
@@ -4395,4 +4808,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dl_histogram": q_dl_histogram,
     "resharded_postings": q_resharded_postings,
     "dsl_topk": q_dsl_topk,
+    "stemmed_term_stats": q_stemmed_term_stats,
+    "bm25_topk_stemmed": q_bm25_topk_stemmed,
+    "combsum_topk": q_combsum_topk,
+    "combmnz_topk": q_combmnz_topk,
+    "mmr_topk": q_mmr_topk,
+    "rbo_eval": q_rbo_eval,
+    "mixture_sample": q_mixture_sample,
+    "span_first": q_span_first,
+    "sdm_topk": q_sdm_topk,
 }

@@ -174,3 +174,51 @@ def err_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
                     F.round(F.coalesce(F.col("_err"), F.lit(0.0)), 6)
                      .alias("err"),
                     "n_rel"))
+
+
+def rbo_at_depth(run_a: DataFrame, run_b: DataFrame, depth: int = 10,
+                 p: float = 0.5) -> DataFrame:
+    """(qid, rbo) — truncated Rank-Biased Overlap (Webber, Moffat &
+    Zobel, TOIS 2010) between two rankings at the given depth:
+
+        RBO = (1 − p) · Σ_{d=1..depth} p^(d−1) · |A_d ∩ B_d| / d
+
+    where A_d/B_d are each run's top-d prefixes. A doc in both runs at
+    ranks (ra, rb) is inside the intersection for every d ≥ max(ra,
+    rb), so its total weight is W(m) = Σ_{d=m..depth} p^(d−1)/d — a
+    depth-sized lookup computed once on the driver and applied as a
+    CASE expression. The whole metric is one (qid, doc_id) inner join
+    of two depth-bounded runs plus a per-qid sum: rows ≤ qids × depth,
+    corpus-size-invariant. p = 0.5 (vs the classic 0.9) keeps every
+    p^(d−1) an exact power of two for cross-engine bit-identity; at
+    depth 10 the truncated tail mass is ≤ 2^-10 anyway.
+
+    runs: (qid, doc_id, rank) with rank ≤ depth enforced here."""
+    w_tail = rbo_weights(depth, p)
+    a = run_a.where(F.col("rank") <= depth).select(
+        "qid", "doc_id", F.col("rank").alias("_ra"))
+    b = run_b.where(F.col("rank") <= depth).select(
+        "qid", "doc_id", F.col("rank").alias("_rb"))
+    m = F.greatest("_ra", "_rb")
+    w_expr = F.lit(0.0)
+    for d in range(depth, 0, -1):
+        w_expr = F.when(m == d, F.lit(w_tail[d])).otherwise(w_expr)
+    matched = (a.join(b, ["qid", "doc_id"])
+               .groupBy("qid").agg(F.sum(w_expr).alias("_s")))
+    qids = a.select("qid").distinct()
+    return (qids.join(matched, "qid", "left")
+            .select("qid",
+                    F.round(F.lit(1.0 - p)
+                            * F.coalesce("_s", F.lit(0.0)), 6).alias("rbo")))
+
+
+def rbo_weights(depth: int, p: float) -> dict[int, float]:
+    """W(m) = Σ_{d=m..depth} p^(d−1)/d, summed ascending in d — the
+    single shared fold both engines consume as literals."""
+    out: dict[int, float] = {}
+    for m in range(1, depth + 1):
+        acc = 0.0
+        for d in range(m, depth + 1):
+            acc += p ** (d - 1) / d
+        out[m] = acc
+    return out

@@ -109,3 +109,70 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
         thr = F.when(F.col(stratum_col) == val,
                      F.lit(int(round(rate * 1000)))).otherwise(thr)
     return df.where(coin < thr)
+
+
+def comb_fuse(run_a: DataFrame, run_b: DataFrame, mnz: bool = False,
+              k: int = TOP_K_DEFAULT) -> DataFrame:
+    """CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994):
+    each run's scores are min-max normalized per qid over its own
+    candidates, then
+
+        CombSUM(d) = Σ_r norm_r(d)          (absent run → 0)
+        CombMNZ(d) = CombSUM(d) · |{r : d ∈ r}|
+
+    MNZ's match-count multiplier rewards consensus docs — the classic
+    lexical/semantic run combiner when calibrated scores exist (vs
+    RRF's rank-only view). Inputs are (qid, doc_id, score) runs
+    already cut to top-N per qid, so this is qids × 2N rows joined
+    full-outer — the corpus is never touched; at 100 TB the fusion
+    cost is invariant in corpus size."""
+    from pyspark.sql.window import Window
+
+    def _minmax(run: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("qid")
+        mn = F.min("score").over(w)
+        mx = F.max("score").over(w)
+        return run.select(
+            "qid", "doc_id",
+            F.when(mx > mn, (F.col("score") - mn) / (mx - mn))
+             .otherwise(F.lit(0.0)).alias(out))
+
+    j = (_minmax(run_a, "a_norm")
+         .join(_minmax(run_b, "b_norm"), ["qid", "doc_id"], "full_outer"))
+    total = (F.coalesce("a_norm", F.lit(0.0))
+             + F.coalesce("b_norm", F.lit(0.0)))
+    if mnz:
+        n_match = (F.col("a_norm").isNotNull().cast("int")
+                   + F.col("b_norm").isNotNull().cast("int"))
+        total = total * n_match.cast("double")
+    return _topk(j.select("qid", "doc_id", total.alias("score")), k)
+
+
+def mixture_sample(df: DataFrame, stratum_col: str, id_col: str,
+                   alpha: float = 0.5) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LM sampling
+    rule, Lample & Conneau 2019): a source with n_s rows is kept at
+    rate (n_s/n_min)^(α−1) — for α=0.5, sqrt(n_min/n_s) — so source
+    mass after sampling is ∝ n_s^α. Downsample-only: the smallest
+    source keeps rate 1.0.
+
+    The keep decision is the repo's portable md5 coin at ppm
+    granularity: keep iff md5_60bit(id) % 1_000_000 <
+    floor(rate·1e6). Rates derive from exact integer counts through
+    the same IEEE sqrt/division sequence in every engine, so the row
+    set is engine-identical. Plan shape: one tiny per-source count
+    aggregate broadcast back onto a scan+filter — no corpus shuffle
+    at any scale."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n")).collect()[0][0]
+    if n_min is None:
+        return df.select(F.col(id_col), F.col(stratum_col)).limit(0)
+    rate = F.pow(F.lit(float(n_min)) / F.col("_n").cast("double"),
+                 F.lit(1.0 - float(alpha)))
+    thr = counts.select(stratum_col,
+                        F.floor(rate * 1e6).cast("long").alias("_thr"))
+    coin = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                  16, 10).cast("long") % 1_000_000
+    return (df.join(F.broadcast(thr), stratum_col)
+            .where(coin < F.col("_thr"))
+            .select(F.col(id_col), F.col(stratum_col)))

@@ -174,3 +174,23 @@ def phrase_bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score", "phrase_tf")
     )
+
+
+def span_first_matches(pos_idx: DataFrame, qterms: DataFrame,
+                       max_pos: int) -> DataFrame:
+    """(qid, term, doc_id, first_pos) — span-first matching: a doc
+    qualifies iff the query term occurs within the first `max_pos`
+    token positions (the Lucene SpanFirstQuery semantic — title-ish
+    leading text matters more than a mention buried at position 900).
+
+    positions are sorted ascending, so element_at(positions, 1) is the
+    earliest occurrence: the filter needs no explode at all. The plan
+    is the standard broadcast term semi-join onto the positional index
+    followed by a per-row filter — corpus scan pruned to query terms,
+    no shuffle beyond the index's own layout."""
+    first = F.element_at("positions", 1)
+    return (pos_idx.join(F.broadcast(qterms.select("qid", "term").distinct()),
+                         "term")
+            .where(first <= max_pos)
+            .select("qid", "term", "doc_id",
+                    first.cast("int").alias("first_pos")))

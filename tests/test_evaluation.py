@@ -144,3 +144,42 @@ def test_bm25plus_beats_plain_on_long_match(spark):
     for d in (0, 2):
         assert plus[d] == pytest.approx(plain[d] + idf, abs=2e-6)
     assert 1 not in plus  # non-matching doc never scores
+
+
+def test_rbo_identical_and_disjoint_runs(spark):
+    """RBO bounds: identical rankings score the truncated maximum
+    (1-p)·Σ p^(d-1) — with p=0.5, depth 3 → 0.5·(1+0.5+0.25) = 0.875 —
+    and disjoint rankings score 0."""
+    from search_engine_spark.functions.evaluation import (rbo_at_depth,
+                                                          rbo_weights)
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "qid string, doc_id long, rank int")
+    same = rbo_at_depth(a, a, depth=3, p=0.5).collect()[0]
+    assert same.rbo == pytest.approx(0.875, abs=1e-9)
+    b = spark.createDataFrame(
+        [("q", 7, 1), ("q", 8, 2), ("q", 9, 3)],
+        "qid string, doc_id long, rank int")
+    assert rbo_at_depth(a, b, depth=3, p=0.5).collect()[0].rbo == 0.0
+
+
+def test_rbo_partial_overlap_golden(spark):
+    """A=[1,2], B=[2,1] at depth 2, p=0.5: both docs enter the
+    intersection at depth 2 → RBO = 0.5 · 2·W(2) = 0.5·2·(0.5/2) =
+    0.25; doc-for-doc agreement at depth 1 contributes nothing."""
+    from search_engine_spark.functions.evaluation import rbo_at_depth
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "qid string, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 1, 2)], "qid string, doc_id long, rank int")
+    got = rbo_at_depth(a, b, depth=2, p=0.5).collect()[0]
+    assert got.rbo == pytest.approx(0.25, abs=1e-9)
+
+
+def test_rbo_weights_telescope():
+    """W(1) must equal the full truncated sum; W(depth) the last term."""
+    from search_engine_spark.functions.evaluation import rbo_weights
+    w = rbo_weights(10, 0.5)
+    assert w[10] == pytest.approx(0.5 ** 9 / 10, abs=1e-15)
+    acc = sum(0.5 ** (d - 1) / d for d in range(1, 11))
+    assert w[1] == pytest.approx(acc, abs=1e-12)

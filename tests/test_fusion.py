@@ -70,3 +70,58 @@ def test_stratified_sample_zero_default_drops_unlisted(spark):
     df = spark.createDataFrame([(i, "x") for i in range(100)],
                                "doc_id long, lang string")
     assert stratified_sample(df, "lang", "doc_id", {"y": 1.0}).count() == 0
+
+
+def test_comb_fuse_sum_and_mnz_golden(spark):
+    """Two 2-deep runs over one query; hand-computed min-max fusion.
+    run A: d1 (2.0), d2 (1.0); run B: d2 (10.0), d3 (4.0)."""
+    from search_engine_spark.operators.fusion import comb_fuse
+    a = spark.createDataFrame(
+        [("q", 1, 2.0), ("q", 2, 1.0)], "qid string, doc_id long, score double")
+    b = spark.createDataFrame(
+        [("q", 2, 10.0), ("q", 3, 4.0)], "qid string, doc_id long, score double")
+    # norms: A: d1=1.0, d2=0.0 ; B: d2=1.0, d3=0.0
+    got_sum = {r.doc_id: r.score for r in comb_fuse(a, b, mnz=False).collect()}
+    assert got_sum == {1: 1.0, 2: 1.0, 3: 0.0}
+    got_mnz = {r.doc_id: r.score for r in comb_fuse(a, b, mnz=True).collect()}
+    # d1: 1.0*1 ; d2: 1.0*2 ; d3: 0.0*1
+    assert got_mnz == {1: 1.0, 2: 2.0, 3: 0.0}
+    ranks = {r.doc_id: r.rank for r in comb_fuse(a, b, mnz=True).collect()}
+    assert ranks[2] == 1
+
+
+def test_comb_fuse_degenerate_run_normalizes_to_zero(spark):
+    """A run whose scores are all equal min-max-normalizes to 0 for
+    every doc (mx == mn branch), not NaN."""
+    from search_engine_spark.operators.fusion import comb_fuse
+    a = spark.createDataFrame(
+        [("q", 1, 3.0), ("q", 2, 3.0)], "qid string, doc_id long, score double")
+    b = spark.createDataFrame(
+        [("q", 1, 1.0)], "qid string, doc_id long, score double")
+    got = {r.doc_id: r.score for r in comb_fuse(a, b, mnz=False).collect()}
+    assert got == {1: 0.0, 2: 0.0}
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """α=0.5 mixing: the smallest source keeps everything; a source 4×
+    the size keeps ~sqrt(1/4)=50%; the row set is md5-deterministic."""
+    from search_engine_spark.operators.fusion import mixture_sample
+    rows = [(i, "small") for i in range(500)] + \
+           [(i + 1000, "big") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, "lang", "doc_id", alpha=0.5)
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["small"] == 500                  # rate exactly 1.0
+    assert 850 <= by_lang["big"] <= 1150            # ~50% ± binomial
+    # determinism: same input → identical row set
+    again = mixture_sample(df, "lang", "doc_id", alpha=0.5)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    # the md5 coin matches the portable reference computation
+    kept = {r.doc_id for r in out.where(F.col("lang") == "big").collect()}
+    import math
+    thr = math.floor(math.sqrt(500 / 2000.0) * 1e6)
+    for doc_id in range(1000, 1100):
+        coin = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
+        assert (doc_id in kept) == (coin < thr)

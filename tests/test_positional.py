@@ -165,3 +165,22 @@ def test_topk_auto_identical_on_both_branches(spark, tiny_corpus, k):
     rows = lambda df: sorted((r.qid, r.rank, r.doc_id, round(r.score, 6))
                              for r in df.collect())
     assert rows(auto) == rows(exhaustive)
+
+
+def test_span_first_matches_golden(spark):
+    """Term at positions (1-based) within/beyond the window."""
+    from search_engine_spark.operators.positional import (
+        positional_postings, span_first_matches)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta alpha"),
+         (3, "x y z w v alpha")],
+        "doc_id long, text string")
+    idx = positional_postings(docs)
+    q = spark.createDataFrame([("q1", "alpha"), ("q2", "beta")],
+                              "qid string, term string")
+    got = {(r.qid, r.doc_id): r.first_pos
+           for r in span_first_matches(idx, q, max_pos=3).collect()}
+    # alpha: doc1 pos1 ok, doc2 pos3 ok, doc3 pos6 filtered
+    # beta:  doc1 pos2 ok, doc2 pos1 ok
+    assert got == {("q1", 1): 1, ("q1", 2): 3,
+                   ("q2", 1): 2, ("q2", 2): 1}
