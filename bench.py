@@ -332,7 +332,9 @@ def main() -> None:
              "date_histogram", "textrank_terms",
              "pl2_topk", "regex_match", "burst_events",
              "lm_jm_topk", "bm25plus_topk", "ltr_features",
-             "grouped_topk", "resharded_postings", "dsl_topk"]
+             "grouped_topk", "resharded_postings", "dsl_topk",
+             "sdm_topk", "mmr_topk", "combsum_topk", "bm25_topk_stemmed",
+             "mixture_sample", "span_first"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -257,3 +257,10 @@ SPAN_FIRST_N = 5
 SDM_LAMBDA_T = 0.85
 SDM_LAMBDA_O = 0.1
 SDM_LAMBDA_U = 0.05
+
+# --- static index pruning (operators/pruning.py) -------------------------
+# Document-centric pruning: each doc keeps its PRUNE_KEEP_K highest
+# tf·idf terms. 5 is a real cut at the synthetic docs' lengths, so the
+# pruned gates exercise genuine truncation (and pruned_recall measures
+# what it costs).
+PRUNE_KEEP_K = 5

@@ -2343,6 +2343,50 @@ def q_sdm_topk(spark, sf_dir):
                     int(totals["ct"]), int(totals["co"]), k=10)
 
 
+def _pruned_corpus(spark, sf_dir):
+    """(ptc, pts, n_docs, avgdl) — the document-centric pruned index
+    (operators/pruning.py) at the gate-pinned keep_k, memoized per
+    session; dl/avgdl stay full-corpus per the Büttcher-Clarke
+    convention."""
+    from .conf import PRUNE_KEEP_K
+    from .operators.pruning import prune_doc_centric, pruned_term_stats
+    key = (spark.sparkContext.applicationId, sf_dir, "pruned")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is None:
+        tc, _, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+        ptc = prune_doc_centric(tc, ts, n_docs, keep_k=PRUNE_KEEP_K).persist()
+        hit = (ptc, pruned_term_stats(ptc), n_docs, avgdl)
+        _CORPUS_CACHE[key] = hit
+    return hit
+
+
+def q_pruned_postings(spark, sf_dir):
+    """The pruned posting relation itself: each doc's top-5 tf·idf
+    terms survive (operators/pruning.py prune_doc_centric) — the
+    per-doc window is bounded by dl, never by the corpus."""
+    ptc, _, _, _ = _pruned_corpus(spark, sf_dir)
+    return ptc.select("doc_id", "term", "tf")
+
+
+def q_pruned_topk(spark, sf_dir):
+    """BM25 served FROM the pruned index (recomputed pruned df, full
+    dl/avgdl) — the size/latency side of the pruning knob."""
+    _, ds, _, n_docs, avgdl = _corpus(spark, sf_dir)
+    ptc, pts, _, _ = _pruned_corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    return bm25_topk(ptc, ds, pts, q, n_docs, avgdl, k=10)
+
+
+def q_pruned_recall(spark, sf_dir):
+    """Overlap@10 of the pruned ranking against the unpruned one
+    (operators/pruning.py overlap_at_k) — the measured quality dial
+    that justifies shipping a pruned index at 100 TB, exactly like
+    ann_recall justifies the approximate vector path."""
+    from .operators.pruning import overlap_at_k
+    return overlap_at_k(q_pruned_topk(spark, sf_dir),
+                        q_bm25_topk(spark, sf_dir), k=10)
+
+
 def _sdm_pair_values() -> str:
     """(qid, term_a, term_b, ptf) VALUES mirroring sdm_pairs_df."""
     rows = []
@@ -4567,6 +4611,59 @@ SELECT sq.qid, sq.term, fp.doc_id, fp.first_pos
 FROM sq JOIN fp USING (term)
 WHERE fp.first_pos <= {SPAN_FIRST_N}"""
 
+    from .conf import PRUNE_KEEP_K
+    pruned_ctes = f"""prsc AS (
+  SELECT tc.doc_id, tc.term, tc.tf,
+         row_number() OVER (PARTITION BY tc.doc_id
+           ORDER BY round(tc.tf::DOUBLE * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5)
+                                                   / (ts.df::DOUBLE + 0.5)), 6) DESC,
+                    tc.term) AS rn
+  FROM tc JOIN ts USING (term)),
+pr AS (SELECT doc_id, term, tf FROM prsc WHERE rn <= {PRUNE_KEEP_K}),
+prts AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+         FROM pr GROUP BY term),
+phits AS (
+  SELECT q.qid, pr.doc_id,
+         q.qtf * ln(1.0 + ((SELECT n FROM n) - prts.df::DOUBLE + 0.5) / (prts.df::DOUBLE + 0.5))
+               * (pr.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (pr.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM q JOIN pr USING (term) JOIN prts USING (term) JOIN ds USING (doc_id)
+),
+pscored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+            FROM phits GROUP BY qid, doc_id),
+pranked AS (SELECT qid, doc_id, score,
+                   (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+            FROM pscored)"""
+
+    sql["pruned_postings"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+prsc AS (
+  SELECT tc.doc_id, tc.term, tc.tf,
+         row_number() OVER (PARTITION BY tc.doc_id
+           ORDER BY round(tc.tf::DOUBLE * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5)
+                                                   / (ts.df::DOUBLE + 0.5)), 6) DESC,
+                    tc.term) AS rn
+  FROM tc JOIN ts USING (term))
+SELECT doc_id, term, tf FROM prsc WHERE rn <= {PRUNE_KEEP_K}"""
+
+    sql["pruned_topk"] = f"""
+WITH {_bm25_ctes()},
+{pruned_ctes}
+SELECT qid, doc_id, rank, score FROM pranked WHERE rank <= 10"""
+
+    sql["pruned_recall"] = f"""
+WITH {_bm25_ctes()},
+{pruned_ctes},
+ha AS (SELECT qid, doc_id FROM pranked WHERE rank <= 10),
+hb AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+hh AS (SELECT qid, count(*)::BIGINT AS n_hit
+       FROM ha JOIN hb USING (qid, doc_id) GROUP BY qid)
+SELECT u.qid, coalesce(hh.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(hh.n_hit, 0) / 10.0, 6) AS recall
+FROM (SELECT DISTINCT qid FROM hb) u LEFT JOIN hh USING (qid)"""
+
     from .conf import (NEAR_WINDOW as _W, SDM_LAMBDA_O, SDM_LAMBDA_T,
                        SDM_LAMBDA_U)
     sql["sdm_topk"] = f"""
@@ -4817,4 +4914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "span_first": q_span_first,
     "sdm_topk": q_sdm_topk,
+    "pruned_postings": q_pruned_postings,
+    "pruned_topk": q_pruned_topk,
+    "pruned_recall": q_pruned_recall,
 }
