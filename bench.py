@@ -334,7 +334,8 @@ def main() -> None:
              "lm_jm_topk", "bm25plus_topk", "ltr_features",
              "grouped_topk", "resharded_postings", "dsl_topk",
              "sdm_topk", "mmr_topk", "combsum_topk", "bm25_topk_stemmed",
-             "mixture_sample", "span_first"]
+             "mixture_sample", "span_first",
+             "conv_stats", "conv_topk"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

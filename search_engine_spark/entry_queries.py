@@ -82,6 +82,27 @@ tokp AS (SELECT doc_id, l[i] AS term, i::INT AS pos
 """
 
 
+# Deterministic transcripts framing of the documents corpus for the
+# conversation-level operators: 4 turns per conv, role cycle with an
+# occasional 'tool' turn, per-turn ts skew (doc_id % 37 s) under a
+# monotone-within-conv clock. Pure arithmetic on doc_id — both engines
+# reconstruct the identical table.
+TURNS_CTE = """
+turns AS (
+  SELECT doc_id // 4 AS conv_id,
+         (doc_id % 4)::INT AS turn_idx,
+         CASE WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 'tool'
+              WHEN doc_id % 4 IN (0, 2) THEN 'user'
+              ELSE 'assistant' END AS role,
+         text,
+         CASE WHEN doc_id % 4 = 2 AND doc_id % 3 = 0
+              THEN 'tool-' || (doc_id % 5) END AS tool,
+         (doc_id // 4) * 3600 + (doc_id % 4) * 60 + doc_id % 37 AS ts_s,
+         doc_id
+  FROM documents
+)"""
+
+
 def _qterms_values() -> str:
     rows = []
     for qid, title in QUERY_SET:
@@ -259,6 +280,27 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TURNS_CTE framing, Spark side — byte-identical derivation."""
+    d = _docs(spark, sf_dir)
+    is_tool = (F.col("doc_id") % 4 == 2) & (F.col("doc_id") % 3 == 0)
+    role = (F.when(is_tool, "tool")
+            .when((F.col("doc_id") % 4).isin(0, 2), "user")
+            .otherwise("assistant"))
+    ts_s = (F.expr("doc_id div 4") * 3600
+            + (F.col("doc_id") % 4) * 60 + F.col("doc_id") % 37)
+    return d.select(
+        F.expr("doc_id div 4").alias("conv_id"),
+        (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        "text",
+        F.when(is_tool, F.concat(F.lit("tool-"),
+                                 (F.col("doc_id") % 5).cast("string")))
+         .alias("tool"),
+        F.timestamp_seconds(ts_s).alias("ts"),
+        "doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4766,7 +4808,128 @@ msel(qid, vec_id, rank, mmr, picked) AS (
 )
 SELECT qid, vec_id, rank::INT AS rank, mmr FROM msel"""
 
+    # ------------------------------------------------------------------
+    # conversation-level analytics + retrieval (operators/conversations)
+    # over the deterministic transcripts framing TURNS_CTE
+    # ------------------------------------------------------------------
+    sql["conv_stats"] = f"""
+WITH {TURNS_CTE},
+ttok AS (
+  SELECT conv_id, role, tool, ts_s,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tok
+  FROM turns)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+       sum(n_tok)::BIGINT AS n_tokens,
+       count(DISTINCT tool)::BIGINT AS n_tools,
+       (max(ts_s) - min(ts_s))::BIGINT AS duration_s,
+       round(avg(n_tok::DOUBLE), 6) AS avg_turn_tokens
+FROM ttok GROUP BY conv_id"""
+
+    sql["role_transitions"] = f"""
+WITH {TURNS_CTE},
+lagd AS (
+  SELECT coalesce(lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  'START') AS from_role,
+         role AS to_role
+  FROM turns)
+SELECT from_role, to_role, count(*)::BIGINT AS n
+FROM lagd GROUP BY from_role, to_role"""
+
+    sql["tool_stats"] = f"""
+WITH {TURNS_CTE},
+ttok AS (
+  SELECT tool, conv_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tok
+  FROM turns WHERE tool IS NOT NULL)
+SELECT tool,
+       count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       round(avg(n_tok::DOUBLE), 6) AS avg_tokens
+FROM ttok GROUP BY tool"""
+
+    sql["reply_latency"] = f"""
+WITH {TURNS_CTE},
+lagd AS (
+  SELECT conv_id,
+         lag(role) OVER w AS prev_role, role,
+         (ts_s - lag(ts_s) OVER w)::BIGINT AS gap_s
+  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id,
+       count(*)::BIGINT AS n_replies,
+       round(avg(gap_s::DOUBLE), 6) AS avg_gap_s,
+       max(gap_s)::BIGINT AS max_gap_s
+FROM lagd WHERE prev_role = 'user' AND role = 'assistant'
+GROUP BY conv_id"""
+
+    sql["conv_topk"] = f"""
+WITH {_bm25_ctes()},
+st AS (SELECT qid, doc_id, score, doc_id // 4 AS conv_id FROM scored),
+tm AS (SELECT *, row_number() OVER (
+         PARTITION BY qid, conv_id ORDER BY score DESC, doc_id) AS r
+       FROM st),
+pc AS (SELECT qid, conv_id, round(sum(score), 6) AS conv_score,
+              count(*)::BIGINT AS n_turns_scored,
+              min(CASE WHEN r = 1 THEN doc_id END) AS best_doc_id,
+              max(score) AS best_score
+       FROM tm WHERE r <= 3 GROUP BY qid, conv_id),
+rk AS (SELECT *, (row_number() OVER (
+         PARTITION BY qid ORDER BY conv_score DESC, conv_id))::INT AS rank
+       FROM pc)
+SELECT qid, conv_id, rank, conv_score, n_turns_scored, best_doc_id, best_score
+FROM rk WHERE rank <= 10"""
+
     return sql
+
+
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation aggregates over the transcripts framing: turn
+    counts by role, token totals, distinct tools, duration. One
+    groupBy(conv_id) — map-side combine, single shuffle."""
+    from .operators.conversations import conv_stats
+    return conv_stats(_turns(spark, sf_dir))
+
+
+def q_role_transitions(spark, sf_dir):
+    """Turn-taking structure: (from_role → to_role) transition counts
+    over consecutive turns per conversation (START for openers). Lag
+    window over bounded conv partitions + one tiny hash agg."""
+    from .operators.conversations import role_transitions
+    return role_transitions(_turns(spark, sf_dir))
+
+
+def q_tool_stats(spark, sf_dir):
+    """Per-tool usage accounting over tool-role turns: calls, distinct
+    conversations, token volume. Pushed-down NOT NULL filter + one
+    groupBy(tool)."""
+    from .operators.conversations import tool_stats
+    return tool_stats(_turns(spark, sf_dir))
+
+
+def q_reply_latency(spark, sf_dir):
+    """Assistant reply latency per conversation: ts gap over adjacent
+    user→assistant turn pairs, aggregated to n/avg/max per conv."""
+    from .operators.conversations import reply_latency
+    return reply_latency(_turns(spark, sf_dir))
+
+
+def q_conv_topk(spark, sf_dir):
+    """Conversation-level retrieval: rank conversations per query by
+    the sum of their top-3 turn BM25 scores (rounded turn scores,
+    doc_id / conv_id tiebreaks). Bounded per-conv window + the
+    standard per-qid WindowGroupLimit rank."""
+    from .operators.conversations import conv_topk
+    from .operators.query import bm25_scores
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    scored = (bm25_scores(tc, ds, ts, q, n_docs, avgdl)
+              .select("qid", "doc_id", F.round("score", 6).alias("score"))
+              .withColumn("conv_id", F.expr("doc_id div 4")))
+    return conv_topk(scored, k=10, m=3)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4917,4 +5080,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pruned_postings": q_pruned_postings,
     "pruned_topk": q_pruned_topk,
     "pruned_recall": q_pruned_recall,
+    "conv_stats": q_conv_stats,
+    "role_transitions": q_role_transitions,
+    "tool_stats": q_tool_stats,
+    "reply_latency": q_reply_latency,
+    "conv_topk": q_conv_topk,
 }
