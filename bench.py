@@ -335,7 +335,7 @@ def main() -> None:
              "grouped_topk", "resharded_postings", "dsl_topk",
              "sdm_topk", "mmr_topk", "combsum_topk", "bm25_topk_stemmed",
              "mixture_sample", "span_first",
-             "conv_stats", "conv_topk"]
+             "conv_stats", "conv_topk", "gopher_filter"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

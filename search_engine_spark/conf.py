@@ -128,6 +128,19 @@ SNIPPET_WINDOW = 10
 # of rare pairs is noise, and the floor also bounds the output set.
 COLLOC_MIN_COUNT = 5
 
+# --- Gopher quality rules (operators/textstats.py::gopher_filter) -------
+# Rae et al. 2021 §A1.1 rule thresholds, scaled to this corpus's
+# turn-sized documents (the paper's 50..100k-word bounds assume web
+# pages). All ratio comparisons happen on 6dp-ROUNDED values so both
+# engines make the identical keep/drop call.
+GOPHER_MIN_TOK = 8          # too-short turns carry no training signal
+GOPHER_MAX_TOK = 512        # runaway / concatenated turns
+GOPHER_AWL_MIN = 3.0        # mean word length lower bound
+GOPHER_AWL_MAX = 10.0       # …and upper (symbol soup / DNA-string text)
+GOPHER_MAX_DIGIT_RATIO = 0.2   # numeric-noise cap (char-level)
+GOPHER_MIN_UNIQ_RATIO = 0.2    # lexical-diversity floor (uniq/total)
+GOPHER_MIN_STOP_HITS = 2       # ≥ this many DISTINCT stopwords present
+
 # --- pseudo-relevance feedback (operators/feedback.py) ------------------
 PRF_FB_DOCS = 10    # first-pass docs treated as pseudo-relevant
 PRF_FB_TERMS = 5    # expansion terms mined per query

@@ -4883,6 +4883,68 @@ rk AS (SELECT *, (row_number() OVER (
 SELECT qid, conv_id, rank, conv_score, n_turns_scored, best_doc_id, best_score
 FROM rk WHERE rank <= 10"""
 
+    # ------------------------------------------------------------------
+    # Gopher rule filter + curation funnel (operators/textstats.py)
+    # ------------------------------------------------------------------
+    from .conf import (GOPHER_AWL_MAX, GOPHER_AWL_MIN,
+                       GOPHER_MAX_DIGIT_RATIO, GOPHER_MAX_TOK,
+                       GOPHER_MIN_STOP_HITS, GOPHER_MIN_TOK,
+                       GOPHER_MIN_UNIQ_RATIO)
+    from .operators.textstats import EN_STOPWORDS
+    _en_in = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+    _gopher_m = f"""
+gbase AS (
+  SELECT doc_id,
+         coalesce(length(text), 0)::BIGINT AS n_chars,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS l,
+         coalesce(length(text), 0) - coalesce(length(regexp_replace(text, '[0-9]', '', 'g')), 0) AS n_digits
+  FROM documents
+),
+gm AS (
+  SELECT doc_id,
+         len(l)::BIGINT AS n_tokens,
+         round(CASE WHEN len(l) > 0 THEN
+               list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l)
+               ELSE 0.0 END, 6) AS avg_word_len,
+         round(CASE WHEN n_chars > 0 THEN n_digits::DOUBLE / n_chars
+               ELSE 0.0 END, 6) AS digit_ratio,
+         round(CASE WHEN len(l) > 0 THEN
+               len(list_distinct(l))::DOUBLE / len(l)
+               ELSE 0.0 END, 6) AS uniq_ratio,
+         len(list_distinct(list_filter(l, x -> x IN ({_en_in}))))::BIGINT AS stop_hits
+  FROM gbase
+),
+gflag AS (
+  SELECT doc_id, n_tokens, avg_word_len, digit_ratio, uniq_ratio, stop_hits,
+         (n_tokens >= {GOPHER_MIN_TOK} AND n_tokens <= {GOPHER_MAX_TOK}) AS ok_len,
+         (avg_word_len >= {GOPHER_AWL_MIN!r} AND avg_word_len <= {GOPHER_AWL_MAX!r}) AS ok_awl,
+         (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS ok_stop,
+         (digit_ratio <= {GOPHER_MAX_DIGIT_RATIO!r}) AS ok_digit,
+         (uniq_ratio >= {GOPHER_MIN_UNIQ_RATIO!r}) AS ok_uniq
+  FROM gm
+)"""
+
+    sql["gopher_filter"] = f"""
+WITH {_gopher_m}
+SELECT doc_id, n_tokens, avg_word_len, digit_ratio, uniq_ratio, stop_hits,
+       ok_len, ok_awl, ok_stop, ok_digit, ok_uniq,
+       (ok_len AND ok_awl AND ok_stop AND ok_digit AND ok_uniq) AS keep
+FROM gflag"""
+
+    sql["filter_funnel"] = f"""
+WITH {_gopher_m}
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END)::BIGINT AS fail_len,
+       sum(CASE WHEN NOT ok_awl THEN 1 ELSE 0 END)::BIGINT AS fail_awl,
+       sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END)::BIGINT AS fail_stop,
+       sum(CASE WHEN NOT ok_digit THEN 1 ELSE 0 END)::BIGINT AS fail_digit,
+       sum(CASE WHEN NOT ok_uniq THEN 1 ELSE 0 END)::BIGINT AS fail_uniq,
+       sum(CASE WHEN ok_len AND ok_awl AND ok_stop AND ok_digit AND ok_uniq
+                THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       round(sum(CASE WHEN ok_len AND ok_awl AND ok_stop AND ok_digit AND ok_uniq
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_rate
+FROM gflag"""
+
     return sql
 
 
@@ -4930,6 +4992,22 @@ def q_conv_topk(spark, sf_dir):
               .select("qid", "doc_id", F.round("score", 6).alias("score"))
               .withColumn("conv_id", F.expr("doc_id div 4")))
     return conv_topk(scored, k=10, m=3)
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher rule-based quality filter: per-doc rule verdicts + the
+    conjunctive keep decision (operators/textstats.py::gopher_filter).
+    Pure JVM expressions, one scan, zero shuffles."""
+    from .operators.textstats import gopher_filter
+    return gopher_filter(_docs(spark, sf_dir))
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Curation-funnel summary over the Gopher filter: corpus size,
+    per-rule failure counts, survivors, keep rate — one global
+    map-side-combined aggregation."""
+    from .operators.textstats import filter_funnel, gopher_filter
+    return filter_funnel(gopher_filter(_docs(spark, sf_dir)))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5085,4 +5163,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_stats": q_tool_stats,
     "reply_latency": q_reply_latency,
     "conv_topk": q_conv_topk,
+    "gopher_filter": q_gopher_filter,
+    "filter_funnel": q_filter_funnel,
 }

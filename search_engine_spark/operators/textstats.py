@@ -120,6 +120,96 @@ def fingerprints(docs: DataFrame, k: int = 4, text_col: str = "text",
     )
 
 
+def gopher_filter(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1),
+    thresholds from conf.py scaled to turn-sized documents: token-count
+    bounds, mean-word-length bounds, distinct-stopword presence,
+    digit-noise cap, and a lexical-diversity floor. Emits per-doc rule
+    verdicts plus the conjunctive `keep` — the observable curation
+    decision, not just the raw signals (text_quality carries those).
+
+    The stopword-presence rule uses the ENGLISH function-word list
+    (EN_STOPWORDS — the same one lang_id scores with): the paper's
+    rule is "contains ≥2 of a small set of common English words", and
+    the reference's 37-word fixture list is Czech, which would
+    degenerate to drop-everything on an English corpus.
+
+    Scale shape: pure JVM column expressions over one scan — no
+    shuffle, no UDF; every ratio is rounded to 6dp BEFORE comparison
+    so the Spark and oracle engines make the identical call.
+    """
+    from ..conf import (GOPHER_AWL_MAX, GOPHER_AWL_MIN,
+                        GOPHER_MAX_DIGIT_RATIO, GOPHER_MAX_TOK,
+                        GOPHER_MIN_STOP_HITS, GOPHER_MIN_TOK,
+                        GOPHER_MIN_UNIQ_RATIO)
+    toks = tokens_col(text_col)
+    stop = sorted(EN_STOPWORDS)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(text_col).alias("_text"),
+                       toks.alias("_toks"))
+    n_tok = F.size(F.col("_toks"))
+    tok_chars = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.length(t)),
+        F.lit(0), lambda a, v: a + v)
+    n_chars = F.coalesce(F.length("_text"), F.lit(0))
+    n_digits = n_chars - F.coalesce(
+        F.length(F.regexp_replace("_text", "[0-9]", "")), F.lit(0))
+    n_uniq = F.size(F.array_distinct(F.col("_toks")))
+    stop_hits = F.size(F.array_distinct(
+        F.filter(F.col("_toks"), lambda t: t.isin(*stop))))
+    has = n_tok > 0
+    awl = F.round(F.when(has, tok_chars.cast("double") / n_tok)
+                   .otherwise(0.0), 6)
+    digit_r = F.round(F.when(n_chars > 0,
+                             n_digits.cast("double") / n_chars)
+                       .otherwise(0.0), 6)
+    uniq_r = F.round(F.when(has, n_uniq.cast("double") / n_tok)
+                      .otherwise(0.0), 6)
+    staged = base.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        awl.alias("avg_word_len"),
+        digit_r.alias("digit_ratio"),
+        uniq_r.alias("uniq_ratio"),
+        stop_hits.cast("long").alias("stop_hits"))
+    ok_len = ((F.col("n_tokens") >= GOPHER_MIN_TOK)
+              & (F.col("n_tokens") <= GOPHER_MAX_TOK))
+    ok_awl = ((F.col("avg_word_len") >= GOPHER_AWL_MIN)
+              & (F.col("avg_word_len") <= GOPHER_AWL_MAX))
+    ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    ok_digit = F.col("digit_ratio") <= GOPHER_MAX_DIGIT_RATIO
+    ok_uniq = F.col("uniq_ratio") >= GOPHER_MIN_UNIQ_RATIO
+    return staged.select(
+        "doc_id", "n_tokens", "avg_word_len", "digit_ratio",
+        "uniq_ratio", "stop_hits",
+        ok_len.alias("ok_len"), ok_awl.alias("ok_awl"),
+        ok_stop.alias("ok_stop"), ok_digit.alias("ok_digit"),
+        ok_uniq.alias("ok_uniq"),
+        (ok_len & ok_awl & ok_stop & ok_digit & ok_uniq).alias("keep"))
+
+
+def filter_funnel(flags: DataFrame) -> DataFrame:
+    """Curation-funnel observability over gopher_filter output: one
+    global row with the corpus size, per-rule failure counts, the
+    surviving-doc count, and the keep rate. One map-side-combined
+    global aggregation — the number the pipeline operator actually
+    watches at 100 TB (which rule is eating the corpus?)."""
+    def fails(c):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("long")
+    return flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        fails("ok_len").alias("fail_len"),
+        fails("ok_awl").alias("fail_awl"),
+        fails("ok_stop").alias("fail_stop"),
+        fails("ok_digit").alias("fail_digit"),
+        fails("ok_uniq").alias("fail_uniq"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+         .alias("n_keep"),
+        F.round(F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                 .cast("double") / F.count("*"), 6).alias("keep_rate"))
+
+
 def _max_run(sorted_arr):
     """Longest run of equal adjacent elements in an already-sorted
     array — i.e. the max multiplicity of any element — as a single
