@@ -335,7 +335,8 @@ def main() -> None:
              "grouped_topk", "resharded_postings", "dsl_topk",
              "sdm_topk", "mmr_topk", "combsum_topk", "bm25_topk_stemmed",
              "mixture_sample", "span_first",
-             "conv_stats", "conv_topk", "gopher_filter"]
+             "conv_stats", "conv_topk", "gopher_filter",
+             "bigram_perplexity"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

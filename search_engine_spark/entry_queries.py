@@ -4945,6 +4945,36 @@ SELECT count(*)::BIGINT AS n_docs,
                       THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_rate
 FROM gflag"""
 
+    sql["bigram_perplexity"] = f"""
+WITH btokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l
+  FROM documents),
+bocc AS (
+  SELECT doc_id, l[i] AS prev, l[i+1] AS w
+  FROM btokl, unnest(generate_series(1, greatest(len(l) - 1, 0))) t(i)),
+bdp AS (SELECT doc_id, prev, w, count(*)::BIGINT AS n_occ
+        FROM bocc GROUP BY doc_id, prev, w),
+bc2 AS (SELECT prev, w, sum(n_occ)::BIGINT AS c2 FROM bdp GROUP BY prev, w),
+btok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+bc1 AS (SELECT term, count(*)::BIGINT AS cf FROM btok GROUP BY term),
+btot AS (SELECT count(*)::DOUBLE AS c FROM btok),
+bj AS (
+  SELECT bdp.doc_id, bdp.n_occ,
+         bdp.n_occ::DOUBLE * -ln(
+           0.75 * (bc2.c2::DOUBLE / p1.cf::DOUBLE)
+           + 0.25 * (w1.cf::DOUBLE / (SELECT c FROM btot))) AS contrib
+  FROM bdp
+  JOIN bc2 USING (prev, w)
+  JOIN bc1 p1 ON p1.term = bdp.prev
+  JOIN bc1 w1 ON w1.term = bdp.w)
+SELECT doc_id,
+       sum(n_occ)::BIGINT AS n_bigrams,
+       round(sum(contrib) / sum(n_occ), 6) AS avg_nll,
+       round(exp(sum(contrib) / sum(n_occ)), 6) AS ppl
+FROM bj GROUP BY doc_id"""
+
     return sql
 
 
@@ -4992,6 +5022,16 @@ def q_conv_topk(spark, sf_dir):
               .select("qid", "doc_id", F.round("score", 6).alias("score"))
               .withColumn("conv_id", F.expr("doc_id div 4")))
     return conv_topk(scored, k=10, m=3)
+
+
+def q_bigram_perplexity(spark, sf_dir):
+    """Interpolated bigram LM cross-entropy per doc (λ=0.75 bigram MLE
+    backed off to the unigram distribution, trained on the corpus's
+    own counts) — the order-2 upgrade of doc_perplexity that catches
+    word-order damage unigram scoring cannot see."""
+    _tc, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    clen = int(ts.agg(F.sum("cf")).collect()[0][0])
+    return textstats.bigram_perplexity(_docs(spark, sf_dir), ts, clen)
 
 
 def q_gopher_filter(spark, sf_dir):
@@ -5165,4 +5205,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_topk": q_conv_topk,
     "gopher_filter": q_gopher_filter,
     "filter_funnel": q_filter_funnel,
+    "bigram_perplexity": q_bigram_perplexity,
 }

@@ -340,6 +340,62 @@ def doc_perplexity(tc: DataFrame, tstats: DataFrame,
                           F.round(F.exp(avg), 6).alias("ppl"))
 
 
+def bigram_perplexity(docs: DataFrame, tstats: DataFrame,
+                      collection_len: int, lam: float = 0.75,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, ppl) — interpolated bigram LM
+    cross-entropy per doc, the order-2 upgrade of doc_perplexity:
+    p(w|prev) = λ·c₂(prev,w)/c₁(prev) + (1−λ)·c₁(w)/|C|, trained on
+    the corpus's own counts (a KenLM-style external model drops in by
+    swapping the two count relations). Unigram perplexity can't see
+    word-ORDER damage (shuffled text scores identically); this can.
+
+    Scale shape: bigram occurrences come from one zip-pair projection
+    (no posexplode self-join), pre-aggregated per (doc, prev, w)
+    BEFORE any join so each distinct doc-bigram pays one row; the
+    corpus bigram table derives from that same relation (one extra
+    agg, no second scan). Joins are plain hash joins on term keys —
+    at a 10^9-term vocabulary nothing here needs a broadcast.
+    Interpolation is spelled λ·(c₂/c₁) + (1−λ)·(cf/|C|) with explicit
+    parentheses; the oracle spells the identical tree so both engines
+    produce bit-equal doubles before the 6dp round.
+    """
+    toks = tokens_col(text_col)
+    t = F.col("_toks")
+    n = F.size(t)
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(t, 1, m), F.slice(t, 2, m),
+                       lambda a, b: F.struct(a.alias("prev"),
+                                             b.alias("w")))
+    occ = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       toks.alias("_toks"))
+           .select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", "p.prev", "p.w"))
+    dp = (occ.groupBy("doc_id", "prev", "w")
+          .agg(F.count("*").cast("long").alias("n_occ")))
+    c2 = dp.groupBy("prev", "w").agg(F.sum("n_occ").alias("_c2"))
+    c1 = tstats.select("term", F.col("cf").alias("_cf"))
+    j = (dp.join(c2, ["prev", "w"])
+         .join(c1.withColumnRenamed("term", "prev")
+                 .withColumnRenamed("_cf", "_c1_prev"), "prev")
+         .join(c1.withColumnRenamed("term", "w")
+                 .withColumnRenamed("_cf", "_cf_w"), "w"))
+    p = (F.lit(lam) * (F.col("_c2").cast("double")
+                       / F.col("_c1_prev").cast("double"))
+         + F.lit(1.0 - lam) * (F.col("_cf_w").cast("double")
+                               / F.lit(float(collection_len))))
+    contrib = F.col("n_occ").cast("double") * -F.log(p)
+    per_doc = (j.select("doc_id", "n_occ", contrib.alias("_nll"))
+               .groupBy("doc_id")
+               .agg(F.sum("n_occ").cast("long").alias("n_bigrams"),
+                    F.sum("_nll").alias("_s")))
+    avg = F.col("_s") / F.col("n_bigrams").cast("double")
+    return per_doc.select("doc_id", "n_bigrams",
+                          F.round(avg, 6).alias("avg_nll"),
+                          F.round(F.exp(avg), 6).alias("ppl"))
+
+
 def doc_keywords(tc: DataFrame, tstats: DataFrame, n_docs: int,
                  k: int = 3) -> DataFrame:
     """(doc_id, term, tf, score, rank) — top-k characteristic terms per
