@@ -4975,6 +4975,48 @@ SELECT doc_id,
        round(exp(sum(contrib) / sum(n_occ)), 6) AS ppl
 FROM bj GROUP BY doc_id"""
 
+    sql["conv_dedup"] = f"""
+WITH {TURNS_CTE},
+cd0 AS (
+  SELECT conv_id, turn_idx, text FROM turns
+  UNION ALL
+  SELECT conv_id + 100000 AS conv_id, turn_idx, text
+  FROM turns WHERE conv_id % 7 = 0),
+cds AS (
+  SELECT conv_id,
+         md5(string_agg(text, chr(1) ORDER BY turn_idx)) AS sig,
+         count(*)::BIGINT AS n_turns
+  FROM cd0 GROUP BY conv_id),
+cdg AS (
+  SELECT conv_id, sig, n_turns,
+         min(conv_id) OVER (PARTITION BY sig) AS keeper_conv_id,
+         (count(*) OVER (PARTITION BY sig))::BIGINT AS n_convs
+  FROM cds)
+SELECT conv_id, sig, n_turns, keeper_conv_id, n_convs,
+       conv_id = keeper_conv_id AS is_keeper
+FROM cdg"""
+
+    sql["pack_convs"] = f"""
+WITH {TURNS_CTE},
+pvtok AS (
+  SELECT conv_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tok
+  FROM turns),
+pvc AS (SELECT conv_id, sum(n_tok)::BIGINT AS n_tokens
+        FROM pvtok GROUP BY conv_id),
+pvsh AS (SELECT conv_id, n_tokens,
+                (('0x' || substr(md5(conv_id::VARCHAR), 1, 15))::BIGINT
+                 % {PACK_SHARDS})::INT AS shard
+         FROM pvc),
+pvcum AS (SELECT conv_id, shard, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY conv_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum
+          FROM pvsh)
+SELECT conv_id, shard, (cum // {CONV_PACK_BUDGET})::BIGINT AS bin_id, n_tokens
+FROM pvcum"""
+
     return sql
 
 
@@ -5022,6 +5064,33 @@ def q_conv_topk(spark, sf_dir):
               .select("qid", "doc_id", F.round("score", 6).alias("score"))
               .withColumn("conv_id", F.expr("doc_id div 4")))
     return conv_topk(scored, k=10, m=3)
+
+
+CONV_PACK_BUDGET = 800
+
+
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup over the transcripts framing
+    plus a deterministic clone of every 7th conversation (conv_id +
+    100000) so duplicate groups actually exist to resolve: sequence
+    signature, group keeper, keep/drop verdict per conversation."""
+    from .operators.conversations import conv_dedup
+    t = _turns(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    clone = (t.where(F.col("conv_id") % 7 == 0)
+             .withColumn("conv_id", F.col("conv_id") + 100000))
+    return conv_dedup(t.unionByName(clone))
+
+
+def q_pack_convs(spark, sf_dir):
+    """Conversation-atomic token-budget packing: whole conversations
+    (never split) binned to ≈CONV_PACK_BUDGET tokens per bin — the
+    transcript-native variant of pack_bins, reusing the same
+    md5-sharded cumulative binning over per-conv token totals."""
+    from .operators.conversations import conv_stats
+    from .operators.packing import pack_bins
+    convs = conv_stats(_turns(spark, sf_dir)).select("conv_id", "n_tokens")
+    return pack_bins(convs, CONV_PACK_BUDGET, PACK_SHARDS,
+                     id_col="conv_id", tok_col="n_tokens")
 
 
 def q_bigram_perplexity(spark, sf_dir):
@@ -5206,4 +5275,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_filter": q_gopher_filter,
     "filter_funnel": q_filter_funnel,
     "bigram_perplexity": q_bigram_perplexity,
+    "conv_dedup": q_conv_dedup,
+    "pack_convs": q_pack_convs,
 }

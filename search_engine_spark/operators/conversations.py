@@ -120,6 +120,39 @@ def reply_latency(turns: DataFrame) -> DataFrame:
                  F.max("gap_s").cast("long").alias("max_gap_s")))
 
 
+def conv_dedup(turns: DataFrame) -> DataFrame:
+    """Exact CONVERSATION-level dedup: two conversations are duplicates
+    when their full turn-text sequences are byte-identical in turn
+    order. Output per conv: the md5 signature, the group keeper
+    (min conv_id), group size, and the keep/drop verdict — the unit a
+    transcripts corpus actually dedups at (turn-level exact dedup
+    keeps one copy of EVERY common utterance; conversation identity is
+    the sequence).
+
+    Signature: md5 of the \\x01-joined turn texts in turn_idx order
+    (the separator pins turn boundaries, so ["ab","c"] ≠ ["a","bc"];
+    NULL turns are skipped by both engines' join semantics —
+    documented, deterministic). Scale shape: one groupBy(conv_id) with
+    a sorted-collect signature (per-group state = one conversation,
+    bounded), then ONE window partitioned by sig whose partitions are
+    duplicate-group-sized — no self-join, no global ordering.
+    """
+    sig = F.md5(F.concat_ws("\x01", F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+        lambda s: s["text"])))
+    per_conv = (turns.groupBy("conv_id")
+                .agg(sig.alias("sig"),
+                     F.count("*").cast("long").alias("n_turns")))
+    w = Window.partitionBy("sig")
+    return (per_conv
+            .withColumn("keeper_conv_id", F.min("conv_id").over(w))
+            .withColumn("n_convs", F.count("*").over(w).cast("long"))
+            .select("conv_id", "sig", "n_turns", "keeper_conv_id",
+                    "n_convs",
+                    (F.col("conv_id") == F.col("keeper_conv_id"))
+                    .alias("is_keeper")))
+
+
 def conv_topk(scored_turns: DataFrame, k: int = 10, m: int = 3) -> DataFrame:
     """Conversation-level retrieval: rank CONVERSATIONS per query by
     the sum of their top-m turn BM25 scores (rounded turn scores in,

@@ -71,6 +71,25 @@ def test_reply_latency_exact(spark):
     assert out["b"].n_replies == 2 and out["b"].avg_gap_s == 4.5 and out["b"].max_gap_s == 6
 
 
+def test_conv_dedup_groups_and_boundaries(spark):
+    from search_engine_spark.operators.conversations import conv_dedup
+    rows = [
+        ("a", 0, "hello there"), ("a", 1, "hi"),
+        ("b", 0, "hello there"), ("b", 1, "hi"),      # exact dup of a
+        ("c", 0, "hello"), ("c", 1, "there hi"),      # same concat words, different boundaries
+        ("d", 1, "hi"), ("d", 0, "hello there"),      # a's turns out of input order -> still dup of a
+        ("e", 0, "solo"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in conv_dedup(t).collect()}
+    assert out["a"].sig == out["b"].sig == out["d"].sig
+    assert out["c"].sig != out["a"].sig               # separator pins boundaries
+    grp = {out[k].keeper_conv_id for k in ("a", "b", "d")}
+    assert grp == {"a"} and out["a"].n_convs == 3
+    assert out["a"].is_keeper and not out["b"].is_keeper
+    assert out["e"].is_keeper and out["e"].n_convs == 1
+
+
 def test_conv_topk_top_m_and_ties(spark):
     rows = [
         # conv 1: turns 10,11,12,13 with scores 5,4,3,2 -> top-3 sum 12
