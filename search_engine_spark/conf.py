@@ -230,6 +230,18 @@ PREFIX_SET: list[tuple[str, str]] = [
     ("w005", "s sp"),
 ]
 
+# Leading-wildcard (*fix) query set — mirror shapes of PREFIX_SET: a
+# hot one-letter suffix, two short suffixes, an OOV miss beside a live
+# suffix, and two suffixes of one query reaching the SAME term
+# ("n" and "an" → "scan": qtf sums).
+SUFFIX_SET: list[tuple[str, str]] = [
+    ("x001", "n"),
+    ("x002", "le ge"),
+    ("x003", "eam w"),
+    ("x004", "zzz ry"),
+    ("x005", "n an"),
+]
+
 FUZZY_SET: list[tuple[str, str]] = [
     ("z001", "spork join"),
     ("z002", "scann"),

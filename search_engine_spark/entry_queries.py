@@ -176,6 +176,17 @@ def _prefix_values() -> str:
     return ",\n        ".join(rows)
 
 
+def _suffix_values() -> str:
+    """(qid, suffix, qtf) VALUES rows for SUFFIX_SET — same driver-side
+    split as operators/wildcard.suffix_query_df."""
+    from .conf import SUFFIX_SET
+    rows = []
+    for qid, title in SUFFIX_SET:
+        for sfx, qtf in sorted(Counter(title.lower().split()).items()):
+            rows.append(f"('{qid}', '{sfx}', {qtf})")
+    return ",\n        ".join(rows)
+
+
 def _phrase_values() -> str:
     """(qid, term, off, nt) VALUES rows for PHRASE_SET — same
     driver-side tokenize as operators/positional.phrase_terms_df."""
@@ -5017,6 +5028,50 @@ pvcum AS (SELECT conv_id, shard, n_tokens,
 SELECT conv_id, shard, (cum // {CONV_PACK_BUDGET})::BIGINT AS bin_id, n_tokens
 FROM pvcum"""
 
+    # ------------------------------------------------------------------
+    # leading-wildcard (*fix) search via the reversed dictionary
+    # ------------------------------------------------------------------
+    sql["suffix_terms"] = f"""
+WITH {TOK_CTE},
+sq(qid, suffix, qtf) AS (VALUES
+        {_suffix_values()}),
+exp AS (
+  SELECT sq.qid, sq.suffix, ts.term, ts.df, sq.qtf,
+         row_number() OVER (PARTITION BY sq.qid, sq.suffix
+                            ORDER BY ts.df DESC, ts.term) AS rn
+  FROM sq JOIN ts
+    ON substr(reverse(ts.term), 1, length(sq.suffix)) = reverse(sq.suffix))
+SELECT qid, suffix, term, df, qtf FROM exp WHERE rn <= {PREFIX_MAX_EXPANSIONS}"""
+
+    sql["suffix_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+sq(qid, suffix, qtf) AS (VALUES
+        {_suffix_values()}),
+exp AS (
+  SELECT sq.qid, ts.term, sq.qtf,
+         row_number() OVER (PARTITION BY sq.qid, sq.suffix
+                            ORDER BY ts.df DESC, ts.term) AS rn
+  FROM sq JOIN ts
+    ON substr(reverse(ts.term), 1, length(sq.suffix)) = reverse(sq.suffix)),
+eq AS (SELECT qid, term, sum(qtf)::INT AS qtf FROM exp
+       WHERE rn <= {PREFIX_MAX_EXPANSIONS} GROUP BY 1, 2),
+hits AS (
+  SELECT eq.qid, tc.doc_id,
+         eq.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({repr(1.0 - BM25_B)} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM eq JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
     return sql
 
 
@@ -5064,6 +5119,28 @@ def q_conv_topk(spark, sf_dir):
               .select("qid", "doc_id", F.round("score", 6).alias("score"))
               .withColumn("conv_id", F.expr("doc_id div 4")))
     return conv_topk(scored, k=10, m=3)
+
+
+def q_suffix_terms(spark, sf_dir):
+    """Dictionary expansions for the leading-wildcard (*fix) query set
+    via the reversed-dictionary equi-join, capped per (qid, suffix) at
+    the top-df terms."""
+    from .conf import SUFFIX_SET
+    from .operators.wildcard import suffix_expansions, suffix_query_df
+    _, _, ts, _, _ = _corpus(spark, sf_dir)
+    sq = suffix_query_df(spark, SUFFIX_SET)
+    return suffix_expansions(ts, sq, PREFIX_MAX_EXPANSIONS)
+
+
+def q_suffix_topk(spark, sf_dir):
+    """BM25 over the suffix-expanded OR-disjunction (a term reached by
+    two suffixes of one query sums their qtf)."""
+    from .conf import SUFFIX_SET
+    from .operators.wildcard import suffix_query_df, suffix_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    sq = suffix_query_df(spark, SUFFIX_SET)
+    return suffix_topk(tc, ds, ts, sq, n_docs, avgdl, k=10,
+                       max_expansions=PREFIX_MAX_EXPANSIONS)
 
 
 CONV_PACK_BUDGET = 800
@@ -5277,4 +5354,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_perplexity": q_bigram_perplexity,
     "conv_dedup": q_conv_dedup,
     "pack_convs": q_pack_convs,
+    "suffix_terms": q_suffix_terms,
+    "suffix_topk": q_suffix_topk,
 }

@@ -105,3 +105,62 @@ def regex_search(tc: DataFrame, docs: DataFrame, pattern: str,
     return (docs.join(cand, "doc_id", "leftsemi")
             .where(F.regexp_like(F.lower(F.col(text_col)), F.lit(pattern)))
             .select("doc_id"))
+
+
+def suffix_query_df(spark: SparkSession,
+                    suffix_set: list[tuple[str, str]]) -> DataFrame:
+    """(qid, suffix, qtf) — whitespace-split, lowercased; repeated
+    suffixes in one query accumulate qtf (driver-local, same
+    convention as prefix_query_df)."""
+    rows = []
+    for qid, title in suffix_set:
+        for sfx, qtf in sorted(Counter(title.lower().split()).items()):
+            rows.append((qid, sfx, qtf))
+    return spark.createDataFrame(rows, "qid string, suffix string, qtf int")
+
+
+def suffix_expansions(tstats: DataFrame, sq: DataFrame,
+                      max_expansions: int = PREFIX_MAX_EXPANSIONS) -> DataFrame:
+    """(qid, suffix, term, df, qtf) — dictionary terms ENDING with each
+    query suffix (leading-wildcard ``*fix``), top-``max_expansions``
+    by (df desc, term asc).
+
+    The classic reversed-dictionary trick: a leading wildcard on the
+    term is a TRAILING wildcard on reverse(term), so the same
+    per-length ``substr(reverse(term), 1, L)`` equi-join the prefix
+    path uses applies verbatim — hash join inside codegen, no LIKE
+    '%fix' scan. A persisted dictionary sorted by reverse(term) (the
+    Lucene ReversedWildcardFilter layout) turns the key into a min/max
+    file prune exactly like the forward dictionary does for prefixes.
+    """
+    lens = sorted({r.l for r in
+                   sq.select(F.length("suffix").alias("l")).distinct().collect()})
+    parts = []
+    for length in lens:
+        sq_l = (sq.where(F.length("suffix") == length)
+                .withColumn("_rk", F.reverse("suffix")))
+        keyed = tstats.select(
+            "term", "df",
+            F.substring(F.reverse("term"), 1, length).alias("_rk"))
+        parts.append(keyed.join(F.broadcast(sq_l), "_rk", "inner")
+                     .select("qid", "suffix", "term", "df", "qtf"))
+    if not parts:
+        return sq.select("qid", "suffix",
+                         F.lit(None).cast("string").alias("term"),
+                         F.lit(None).cast("long").alias("df"), "qtf").limit(0)
+    exp = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("qid", "suffix").orderBy(F.desc("df"), F.asc("term"))
+    return (exp.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_expansions).drop("_rn"))
+
+
+def suffix_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                sq: DataFrame, n_docs: int, avgdl: float,
+                k: int = TOP_K_DEFAULT,
+                max_expansions: int = PREFIX_MAX_EXPANSIONS) -> DataFrame:
+    """Top-k BM25 over the suffix-expanded disjunction (a term reached
+    by two suffixes of one query sums their qtf)."""
+    exp = suffix_expansions(tstats, sq, max_expansions)
+    eq = (exp.groupBy("qid", "term")
+          .agg(F.sum("qtf").cast("int").alias("qtf")))
+    return bm25_topk(tc, ds, tstats, eq, n_docs, avgdl, k=k)

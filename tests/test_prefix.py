@@ -99,3 +99,70 @@ def test_regex_search_anchor_prefilter(spark):
     # 1: match; 2: multi-space \s+ match; 3: wrong verb; 4: token is
     # "xspark" (anchor absent AND \b blocks the regex); 5: wrong order
     assert got == {1, 2}
+
+
+def test_suffix_expansions_match_bruteforce(spark, tiny_corpus):
+    from search_engine_spark.operators.wildcard import (suffix_expansions,
+                                                        suffix_query_df)
+    tw, rows = tiny_corpus
+    tc = term_counts(tw)
+    ts_ = term_stats(tc)
+    vocab = {r.term: r.df for r in ts_.collect()}
+    some = sorted(vocab)
+    suffix_set = [
+        ("x1", some[0][-1:]),                        # 1-char fanout
+        ("x2", f"{some[1][-2:]} {some[-1][-3:]}"),   # two suffixes
+        ("x3", some[2]),                             # exact word
+        ("x4", "zzzzz"),                             # miss
+        ("x5", f"{some[0][-1:]} {some[0][-2:]}"),    # overlapping suffixes
+    ]
+    cap = 3
+    sq = suffix_query_df(spark, suffix_set)
+    got = defaultdict(set)
+    for r in suffix_expansions(ts_, sq, cap).collect():
+        got[(r.qid, r.suffix)].add((r.term, r.df))
+    exp = defaultdict(set)
+    for qid, title in suffix_set:
+        for sfx in set(title.lower().split()):
+            hits = sorted((t for t in vocab if t.endswith(sfx)),
+                          key=lambda t: (-vocab[t], t))[:cap]
+            for t in hits:
+                exp[(qid, sfx)].add((t, vocab[t]))
+    assert got == exp
+
+
+def test_suffix_topk_matches_expanded_bm25(spark, tiny_corpus):
+    from search_engine_spark.operators.wildcard import (suffix_query_df,
+                                                        suffix_topk)
+    tw, rows = tiny_corpus
+    tc = term_counts(tw)
+    ds = doc_stats(tc)
+    ts_ = term_stats(tc)
+    n_docs = tw.count()
+    avgdl = ds.agg(F.avg("dl")).collect()[0][0]
+    vocab = {r.term: r.df for r in ts_.collect()}
+    some = sorted(vocab)
+    suffix_set = [("x1", f"{some[0][-1:]} {some[3][-2:]}")]
+    cap = 3
+    expanded = _py_expand_suffix(vocab, suffix_set, cap)
+    eq_rows = [(qid, t, int(q)) for qid, c in expanded.items()
+               for t, q in sorted(c.items())]
+    eq = spark.createDataFrame(eq_rows, "qid string, term string, qtf int")
+    want = {(r.qid, r.doc_id, r.rank, r.score)
+            for r in bm25_topk(tc, ds, ts_, eq, n_docs, avgdl, k=10).collect()}
+    sq = suffix_query_df(spark, suffix_set)
+    got = {(r.qid, r.doc_id, r.rank, r.score)
+           for r in suffix_topk(tc, ds, ts_, sq, n_docs, avgdl,
+                                k=10, max_expansions=cap).collect()}
+    assert got == want
+
+
+def _py_expand_suffix(vocab_df: dict[str, int], suffix_set, cap: int):
+    out: dict[str, Counter] = defaultdict(Counter)
+    for qid, title in suffix_set:
+        for sfx, qtf in Counter(title.lower().split()).items():
+            hits = sorted((t for t in vocab_df if t.endswith(sfx)),
+                          key=lambda t: (-vocab_df[t], t))[:cap]
+            for t in hits:
+                out[qid][t] += qtf
+    return out
