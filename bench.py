@@ -336,7 +336,8 @@ def main() -> None:
              "sdm_topk", "mmr_topk", "combsum_topk", "bm25_topk_stemmed",
              "mixture_sample", "span_first",
              "conv_stats", "conv_topk", "gopher_filter",
-             "bigram_perplexity", "conv_dedup", "suffix_topk"]
+             "bigram_perplexity", "conv_dedup", "suffix_topk",
+             "segment_queries"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -187,6 +187,16 @@ def _suffix_values() -> str:
     return ",\n        ".join(rows)
 
 
+def _qpos_values() -> str:
+    """(qid, off, term) VALUES rows — QUERY_SET tokenized with 0-based
+    offsets (the segmentation input; duplicates and order kept)."""
+    rows = []
+    for qid, title in QUERY_SET:
+        for off, term in enumerate(tokenize_py(title)):
+            rows.append(f"('{qid}', {off}, '{term}')")
+    return ",\n        ".join(rows)
+
+
 def _phrase_values() -> str:
     """(qid, term, off, nt) VALUES rows for PHRASE_SET — same
     driver-side tokenize as operators/positional.phrase_terms_df."""
@@ -5072,6 +5082,44 @@ ranked AS (SELECT qid, doc_id, score,
            FROM scored)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
 
+    # ------------------------------------------------------------------
+    # PMI query segmentation (operators/collocations.py)
+    # ------------------------------------------------------------------
+    sql["segment_queries"] = f"""
+WITH ctokl AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+cuni AS (SELECT unnest(l) AS term FROM ctokl),
+cuc AS (SELECT term, count(*)::BIGINT AS c FROM cuni GROUP BY term),
+cbi AS (SELECT l[i] AS t1, l[i + 1] AS t2
+        FROM ctokl, unnest(generate_series(1, len(l) - 1)) t(i)),
+cbc AS (SELECT t1, t2, count(*)::BIGINT AS c_ab FROM cbi GROUP BY t1, t2),
+cu AS (SELECT sum(c)::DOUBLE AS u FROM cuc),
+ct AS (SELECT sum(c_ab)::DOUBLE AS t FROM cbc),
+colloc AS (
+  SELECT cbc.t1, cbc.t2,
+         round(ln((cbc.c_ab::DOUBLE * (SELECT u FROM cu) * (SELECT u FROM cu))
+                  / ((SELECT t FROM ct) * a.c::DOUBLE * b.c::DOUBLE)), 6) AS pmi
+  FROM cbc JOIN cuc a ON a.term = cbc.t1 JOIN cuc b ON b.term = cbc.t2
+  WHERE cbc.c_ab >= {SEGMENT_MIN_COUNT}),
+qp(qid, off, term) AS (VALUES
+        {_qpos_values()}),
+ql AS (SELECT qid, off, term,
+              lag(term) OVER (PARTITION BY qid ORDER BY off) AS t1
+       FROM qp),
+qj AS (SELECT ql.qid, ql.off, ql.term,
+              CASE WHEN ql.t1 IS NULL OR c.pmi IS NULL
+                        OR c.pmi < {SEGMENT_PMI_TAU!r} THEN 1 ELSE 0 END AS brk
+       FROM ql LEFT JOIN colloc c ON c.t1 = ql.t1 AND c.t2 = ql.term),
+qs AS (SELECT qid, off, term,
+              (sum(brk) OVER (PARTITION BY qid ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - 1)::INT AS seg_idx
+       FROM qj)
+SELECT qid, seg_idx, string_agg(term, ' ' ORDER BY off) AS segment,
+       count(*)::BIGINT AS n_terms
+FROM qs GROUP BY qid, seg_idx"""
+
     return sql
 
 
@@ -5141,6 +5189,30 @@ def q_suffix_topk(spark, sf_dir):
     sq = suffix_query_df(spark, SUFFIX_SET)
     return suffix_topk(tc, ds, ts, sq, n_docs, avgdl, k=10,
                        max_expansions=PREFIX_MAX_EXPANSIONS)
+
+
+SEGMENT_MIN_COUNT = 2
+# the synthetic corpus draws adjacencies near-independently, so pair
+# PMIs cluster in ±0.4 around 0; 0.05 sits inside the observed spread
+# and yields a real mix of merges and breaks at sf0.01 (a natural
+# corpus would use ~1.0+)
+SEGMENT_PMI_TAU = 0.05
+
+
+def q_segment_queries(spark, sf_dir):
+    """PMI-driven query segmentation over QUERY_SET: adjacent query
+    terms stay in one segment when their corpus adjacency PMI clears
+    SEGMENT_PMI_TAU (pairs below the SEGMENT_MIN_COUNT collocation
+    floor always break) — the implicit-phrase detector feeding the
+    phrase/proximity machinery."""
+    from .operators.collocations import collocations, segment_queries
+    from .operators.positional import phrase_terms_df
+    qp = (phrase_terms_df(spark, QUERY_SET)
+          .select("qid", "off", "term"))
+    colloc = (collocations(_docs(spark, sf_dir),
+                           min_count=SEGMENT_MIN_COUNT)
+              .select("t1", "t2", "pmi"))
+    return segment_queries(qp, colloc, SEGMENT_PMI_TAU)
 
 
 CONV_PACK_BUDGET = 800
@@ -5356,4 +5428,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_convs": q_pack_convs,
     "suffix_terms": q_suffix_terms,
     "suffix_topk": q_suffix_topk,
+    "segment_queries": q_segment_queries,
 }

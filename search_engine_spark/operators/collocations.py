@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conf import COLLOC_MIN_COUNT
 from ..functions.tokenize import tokens_col
@@ -109,6 +110,47 @@ def collocations(docs: DataFrame, text_col: str = "text",
         .select("t1", "t2", "c_ab",
                 F.round(pmi, SCORE_DECIMALS).alias("pmi"))
     )
+
+
+def segment_queries(qterms: DataFrame, colloc: DataFrame,
+                    tau: float) -> DataFrame:
+    """(qid, seg_idx, segment, n_terms) — PMI-driven query
+    segmentation: a multi-term query splits into contiguous segments,
+    breaking between adjacent terms whose corpus adjacency PMI is
+    below ``tau`` (or whose pair never clears the collocation floor).
+    High-PMI runs stay together — the implicit-phrase detector that
+    decides which query words deserve phrase/proximity treatment
+    without the user quoting them.
+
+    ``qterms``: (qid, off, term), 0-based contiguous offsets (the
+    phrase_terms_df shape). ``colloc``: (t1, t2, pmi) — the
+    `collocations` relation.
+
+    Scale shape: the query side is driver-tiny; the corpus-sized
+    collocation relation is FIRST pruned to the query's adjacent pairs
+    by a broadcast semi-join (≤ Σ(len−1) rows survive), so the left
+    join and both per-qid windows (lag, running break-sum) run over
+    query-sized data only — corpus cost is exactly one pass of the
+    collocations build it reuses.
+    """
+    w = Window.partitionBy("qid").orderBy("off")
+    lagged = qterms.withColumn("t1", F.lag("term").over(w))
+    pairs = (lagged.where(F.col("t1").isNotNull())
+             .select(F.col("t1"), F.col("term").alias("t2")).distinct())
+    cf = colloc.join(F.broadcast(pairs), ["t1", "t2"], "leftsemi")
+    j = lagged.join(
+        F.broadcast(cf.select("t1", F.col("t2").alias("term"), "pmi")),
+        ["t1", "term"], "left")
+    brk = F.when(F.col("t1").isNull() | F.col("pmi").isNull()
+                 | (F.col("pmi") < F.lit(float(tau))), 1).otherwise(0)
+    seg = (F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+           - 1).cast("int")
+    return (j.withColumn("seg_idx", seg)
+            .groupBy("qid", "seg_idx")
+            .agg(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct("off", "term"))),
+                     lambda s: s["term"])).alias("segment"),
+                 F.count("*").cast("long").alias("n_terms")))
 
 
 def term_associations(tc: DataFrame, tstats: DataFrame,

@@ -92,3 +92,27 @@ def test_term_associations_and_doc_keywords(spark):
     # doc 3: bird (idf ln 4) beats cat (idf ln 4/3)
     assert kw[(3, 1)][0] == "bird" and kw[(3, 2)][0] == "cat"
     assert (1, 3) not in kw  # k=2 caps per-doc output
+
+
+def test_segment_queries_golden(spark):
+    """Crafted corpus: 'new york' is a strong collocation, 'red car'
+    never co-occurs adjacently -> the query 'new york red car' splits
+    exactly between york and red; floor and tau boundaries covered."""
+    from search_engine_spark.operators.collocations import (collocations,
+                                                            segment_queries)
+    docs = ([(i, "new york " * 3 + "apple") for i in range(2)]
+            + [(2 + i, "red apple car blue red apple car blue")
+               for i in range(2)])
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    colloc = collocations(d, min_count=2).select("t1", "t2", "pmi")
+    qp = spark.createDataFrame(
+        [("q1", 0, "new"), ("q1", 1, "york"), ("q1", 2, "red"), ("q1", 3, "car"),
+         ("q2", 0, "oov"), ("q2", 1, "new")],
+        "qid string, off int, term string")
+    out = {(r.qid, r.seg_idx): (r.segment, r.n_terms)
+           for r in segment_queries(qp, colloc, tau=0.05).collect()}
+    assert out[("q1", 0)] == ("new york", 2)      # high-PMI pair merges
+    assert out[("q1", 1)][0] == "red"             # red->car never adjacent: break
+    assert out[("q1", 2)][0] == "car"
+    assert out[("q2", 0)] == ("oov", 1)           # OOV always breaks
+    assert out[("q2", 1)] == ("new", 1)
