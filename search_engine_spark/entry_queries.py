@@ -5120,6 +5120,32 @@ SELECT qid, seg_idx, string_agg(term, ' ' ORDER BY off) AS segment,
        count(*)::BIGINT AS n_terms
 FROM qs GROUP BY qid, seg_idx"""
 
+    sql["batch_drift"] = f"""
+WITH {TOK_CTE},
+dtot AS (SELECT sum(tf)::DOUBLE AS c FROM tc),
+dbtc AS (SELECT doc_id // 100 AS batch, term, sum(tf)::BIGINT AS tf_b
+         FROM tc GROUP BY 1, 2),
+dbtot AS (SELECT doc_id // 100 AS batch,
+                 count(DISTINCT doc_id)::BIGINT AS n_docs,
+                 sum(tf)::BIGINT AS n_tokens
+          FROM tc GROUP BY 1),
+dbj AS (
+  SELECT b.batch, t.n_docs, t.n_tokens, b.term,
+         (b.tf_b::DOUBLE / t.n_tokens::DOUBLE)
+           * ln((b.tf_b::DOUBLE / t.n_tokens::DOUBLE)
+                / (ts.cf::DOUBLE / (SELECT c FROM dtot))) AS contrib
+  FROM dbtc b JOIN dbtot t USING (batch) JOIN ts USING (term)),
+dagg AS (SELECT batch, n_docs, n_tokens, round(sum(contrib), 6) AS kl
+         FROM dbj GROUP BY batch, n_docs, n_tokens),
+dtop AS (SELECT batch, term AS top_term, round(round(contrib, 6), 6) AS top_contrib
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY batch
+                 ORDER BY round(contrib, 6) DESC, term DESC) AS rn
+               FROM dbj)
+         WHERE rn = 1)
+SELECT a.batch, a.n_docs, a.n_tokens, a.kl, p.top_term, p.top_contrib
+FROM dagg a JOIN dtop p USING (batch)"""
+
     return sql
 
 
@@ -5189,6 +5215,16 @@ def q_suffix_topk(spark, sf_dir):
     sq = suffix_query_df(spark, SUFFIX_SET)
     return suffix_topk(tc, ds, ts, sq, n_docs, avgdl, k=10,
                        max_expansions=PREFIX_MAX_EXPANSIONS)
+
+
+def q_batch_drift(spark, sf_dir):
+    """Per-ingest-batch unigram KL divergence vs the corpus (batch =
+    doc_id div 100 — the deterministic arrival-bucket stand-in), with
+    the top drift-contributing term per batch — the vocabulary-drift
+    observability dial for a training-data pipeline."""
+    tc, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    clen = int(ts.agg(F.sum("cf")).collect()[0][0])
+    return textstats.batch_drift(tc, F.expr("doc_id div 100"), ts, clen)
 
 
 SEGMENT_MIN_COUNT = 2
@@ -5429,4 +5465,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_terms": q_suffix_terms,
     "suffix_topk": q_suffix_topk,
     "segment_queries": q_segment_queries,
+    "batch_drift": q_batch_drift,
 }

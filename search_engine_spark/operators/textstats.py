@@ -396,6 +396,51 @@ def bigram_perplexity(docs: DataFrame, tstats: DataFrame,
                           F.round(F.exp(avg), 6).alias("ppl"))
 
 
+def batch_drift(tc: DataFrame, batch_col, tstats: DataFrame,
+                collection_len: int) -> DataFrame:
+    """(batch, n_docs, n_tokens, kl, top_term, top_contrib) — unigram
+    distribution drift per ingest batch: KL(batch ‖ corpus) over the
+    batch's observed vocabulary, plus the single term contributing
+    most to the divergence. The pipeline-observability dial that
+    catches vocabulary drift (a source change, a scraper bug, language
+    mix shift) BEFORE it trains into a model — per-batch, comparable
+    over time.
+
+    ``tc``: the (doc_id, term, tf) relation; ``batch_col``: a column
+    expression assigning each doc to a batch (e.g. arrival bucket).
+
+    KL term: p_b·ln(p_b/p_c) with p_b = tf_b/len_b, p_c = cf/|C|;
+    observed-vocab KL is ≥ 0 up to truncation and both engines
+    truncate identically (only terms present in the batch contribute).
+
+    Scale shape: one (batch, term) aggregation with map-side combine,
+    a hash join against the term dictionary (same key the index build
+    shuffles on), one per-batch agg with a max_by for the top term —
+    no window, no explode beyond what tc already is."""
+    bt = (tc.withColumn("batch", batch_col)
+          .groupBy("batch", "term")
+          .agg(F.sum("tf").cast("long").alias("tf_b")))
+    totals = (tc.withColumn("batch", batch_col)
+              .groupBy("batch")
+              .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                   F.sum("tf").cast("long").alias("n_tokens")))
+    j = (bt.join(totals, "batch")
+         .join(tstats.select("term", "cf"), "term"))
+    p_b = F.col("tf_b").cast("double") / F.col("n_tokens").cast("double")
+    p_c = F.col("cf").cast("double") / F.lit(float(collection_len))
+    contrib = p_b * F.log(p_b / p_c)
+    per_batch = (j.select("batch", "n_docs", "n_tokens", "term",
+                          contrib.alias("_kl"))
+                 .groupBy("batch", "n_docs", "n_tokens")
+                 .agg(F.round(F.sum("_kl"), 6).alias("kl"),
+                      F.max_by("term", F.struct(F.round(F.col("_kl"), 6),
+                                                F.col("term"))).alias("top_term"),
+                      F.round(F.max(F.round(F.col("_kl"), 6)), 6)
+                       .alias("top_contrib")))
+    return per_batch.select("batch", "n_docs", "n_tokens", "kl",
+                            "top_term", "top_contrib")
+
+
 def doc_keywords(tc: DataFrame, tstats: DataFrame, n_docs: int,
                  k: int = 3) -> DataFrame:
     """(doc_id, term, tf, score, rank) — top-k characteristic terms per

@@ -54,3 +54,35 @@ def test_bigram_perplexity_golden(spark):
     # word-order sensitivity: the scrambled doc is more surprising than
     # the natural one even though its unigram profile is similar
     assert got[2][1] > got[1][1]
+
+
+def test_batch_drift_golden(spark):
+    """Batch 0 matches the corpus blend, batch 1 is pure 'zzz' -> its
+    observed-vocab KL is far higher and 'zzz' is its top contributor.
+    Values checked against a hand-rolled replica of the formula."""
+    from search_engine_spark.operators.textstats import batch_drift
+    from pyspark.sql import functions as F
+    docs = [(0, "a b c a b"), (1, "a c b b a"),
+            (100, "zzz zzz zzz zzz"), (101, "zzz zzz")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tc = term_counts_sql(df)
+    ts = term_stats(tc)
+    clen = sum(r.cf for r in ts.collect())
+    out = {r.batch: r for r in
+           batch_drift(tc, F.expr("doc_id div 100"), ts, clen).collect()}
+    # replica
+    from collections import Counter, defaultdict
+    toks = {d: t.split() for d, t in docs}
+    cf = Counter(w for t in toks.values() for w in t)
+    batches = defaultdict(list)
+    for d, t in toks.items():
+        batches[d // 100].extend(t)
+    for b, words in batches.items():
+        n = len(words)
+        per = Counter(words)
+        kl = sum((c / n) * math.log((c / n) / (cf[w] / clen))
+                 for w, c in per.items())
+        assert out[b].n_tokens == n
+        assert abs(out[b].kl - round(kl, 6)) <= 1e-6
+    assert out[1].kl > out[0].kl
+    assert out[1].top_term == "zzz"
