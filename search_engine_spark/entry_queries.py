@@ -5146,6 +5146,18 @@ dtop AS (SELECT batch, term AS top_term, round(round(contrib, 6), 6) AS top_cont
 SELECT a.batch, a.n_docs, a.n_tokens, a.kl, p.top_term, p.top_contrib
 FROM dagg a JOIN dtop p USING (batch)"""
 
+    sql["split_assign"] = f"""
+WITH {TURNS_CTE},
+sc AS (SELECT doc_id, conv_id,
+              (('0x' || substr(md5(conv_id::VARCHAR), 1, 15))::BIGINT
+               % 1000) AS coin
+       FROM turns)
+SELECT doc_id, conv_id,
+       CASE WHEN coin < 980 THEN 'train'
+            WHEN coin < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM sc"""
+
     return sql
 
 
@@ -5215,6 +5227,15 @@ def q_suffix_topk(spark, sf_dir):
     sq = suffix_query_df(spark, SUFFIX_SET)
     return suffix_topk(tc, ds, ts, sq, n_docs, avgdl, k=10,
                        max_expansions=PREFIX_MAX_EXPANSIONS)
+
+
+def q_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test split at conversation granularity
+    (md5 coin on conv_id, 98/1/1 permille): every turn of a
+    conversation shares its split by construction. Pure projection,
+    zero shuffles."""
+    from .operators.conversations import split_assign
+    return split_assign(_turns(spark, sf_dir))
 
 
 def q_batch_drift(spark, sf_dir):
@@ -5466,4 +5487,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_topk": q_suffix_topk,
     "segment_queries": q_segment_queries,
     "batch_drift": q_batch_drift,
+    "split_assign": q_split_assign,
 }

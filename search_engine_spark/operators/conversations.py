@@ -153,6 +153,31 @@ def conv_dedup(turns: DataFrame) -> DataFrame:
                     .alias("is_keeper")))
 
 
+def split_assign(turns: DataFrame, val_permille: int = 10,
+                 test_permille: int = 10) -> DataFrame:
+    """(doc_id, conv_id, split) — leakage-safe train/val/test
+    assignment at CONVERSATION granularity: the portable md5 coin
+    (md5(conv_id)[:15] as a 60-bit int, mod 1000) buckets each
+    conversation, so every turn of a conversation lands in the same
+    split BY CONSTRUCTION — the split-leakage guard a transcripts
+    corpus needs (turn-level splitting leaks near-verbatim context
+    across the boundary).
+
+    Scale shape: pure projection — the coin is a per-row expression on
+    conv_id, ZERO shuffles at any corpus size (same coin as
+    stratified_sample / pack_bins, so split ∘ sample compose without
+    correlation only if their salts differ — conv_id vs doc_id keys
+    here).
+    """
+    train_lo = 1000 - int(val_permille) - int(test_permille)
+    coin = (F.conv(F.substring(F.md5(F.col("conv_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % 1000)
+    split = (F.when(coin < train_lo, "train")
+             .when(coin < train_lo + int(val_permille), "val")
+             .otherwise("test"))
+    return turns.select("doc_id", "conv_id", split.alias("split"))
+
+
 def conv_topk(scored_turns: DataFrame, k: int = 10, m: int = 3) -> DataFrame:
     """Conversation-level retrieval: rank CONVERSATIONS per query by
     the sum of their top-m turn BM25 scores (rounded turn scores in,

@@ -107,3 +107,20 @@ def test_conv_topk_top_m_and_ties(spark):
     assert out[0].n_turns_scored == 3 and out[0].best_doc_id == 10
     assert out[1].best_doc_id == 30  # score tie inside conv: doc_id asc wins
     assert out[2].best_score == 9.0
+
+
+def test_split_assign_conv_consistent(spark):
+    from search_engine_spark.operators.conversations import split_assign
+    t = generate_transcripts(spark, n_convs=200, seed=42, partitions=4)
+    t = t.withColumn("doc_id", F.monotonically_increasing_id())
+    out = split_assign(t, val_permille=100, test_permille=100)
+    # every turn of a conversation shares its split
+    per_conv = (out.groupBy("conv_id")
+                .agg(F.count_distinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in per_conv)
+    # all three splits materialize at 80/10/10 on 200 convs
+    sizes = {r.split: r.n for r in
+             out.select("conv_id", "split").distinct()
+                .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
