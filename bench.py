@@ -337,7 +337,8 @@ def main() -> None:
              "mixture_sample", "span_first",
              "conv_stats", "conv_topk", "gopher_filter",
              "bigram_perplexity", "conv_dedup", "suffix_topk",
-             "segment_queries", "batch_drift", "split_assign"]
+             "segment_queries", "batch_drift", "split_assign",
+             "recency_topk"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -5158,6 +5158,21 @@ SELECT doc_id, conv_id,
             ELSE 'test' END AS split
 FROM sc"""
 
+    sql["recency_topk"] = f"""
+WITH {_bm25_ctes()},
+{TURNS_CTE.lstrip()},
+rref AS (SELECT max(ts_s) AS m FROM turns),
+rb AS (
+  SELECT s.qid, s.doc_id,
+         round(s.score * exp(-(((SELECT m FROM rref) - t.ts_s)::DOUBLE
+                               / {RECENCY_TAU_S!r})), 6) AS score
+  FROM scored s JOIN turns t USING (doc_id)),
+rrk AS (SELECT qid, doc_id, score,
+               (row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id))::INT AS rank
+        FROM rb)
+SELECT qid, doc_id, rank, score FROM rrk WHERE rank <= 10"""
+
     return sql
 
 
@@ -5227,6 +5242,27 @@ def q_suffix_topk(spark, sf_dir):
     sq = suffix_query_df(spark, SUFFIX_SET)
     return suffix_topk(tc, ds, ts, sq, n_docs, avgdl, k=10,
                        max_expansions=PREFIX_MAX_EXPANSIONS)
+
+
+RECENCY_TAU_S = 100000.0
+
+
+def q_recency_topk(spark, sf_dir):
+    """Time-decayed ranking over the transcripts clock: BM25 (rounded)
+    × exp(−age/τ), age measured from the corpus max ts (deterministic
+    "now"), τ=100000 s so the decay actually reorders across this
+    corpus's ~450k-second span."""
+    from .operators.boosts import recency_boosted_topk
+    from .operators.query import bm25_scores
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    scored = (bm25_scores(tc, ds, ts, q, n_docs, avgdl)
+              .select("qid", "doc_id", F.round("score", 6).alias("score")))
+    turns = _turns(spark, sf_dir)
+    doc_ts = turns.select(
+        "doc_id", F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts_s"))
+    ref = doc_ts.agg(F.max("ts_s")).collect()[0][0]
+    return recency_boosted_topk(scored, doc_ts, int(ref), RECENCY_TAU_S, k=10)
 
 
 def q_split_assign(spark, sf_dir):
@@ -5488,4 +5524,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_queries": q_segment_queries,
     "batch_drift": q_batch_drift,
     "split_assign": q_split_assign,
+    "recency_topk": q_recency_topk,
 }

@@ -44,6 +44,30 @@ def prior_boosted_topk(scored: DataFrame, priors: DataFrame,
     return _topk(boosted, k)
 
 
+def recency_boosted_topk(scored: DataFrame, doc_ts: DataFrame,
+                         ref_ts_s: int, tau_s: float,
+                         k: int = TOP_K_DEFAULT) -> DataFrame:
+    """Top-k by ``score · exp(−age/τ)`` — the function_score
+    exponential time-decay: fresher turns outrank stale ones at equal
+    relevance, with τ setting the half-life scale (decay to 1/e at
+    age=τ). `scored`: (qid, doc_id, score) pre-top-k (unrounded);
+    `doc_ts`: (doc_id, ts_s) epoch-seconds per doc; `ref_ts_s`: the
+    deterministic "now" (corpus max ts — never the wall clock, so runs
+    are reproducible).
+
+    Plan: the ts join touches only the candidate set; ages are a
+    per-row expression; _topk applies the pinned rounding + tie
+    order. Expression tree `score * exp(-(age / τ))` is spelled
+    identically in the oracle."""
+    age = (F.lit(int(ref_ts_s)) - F.col("ts_s")).cast("double")
+    boosted = (scored.join(doc_ts.select("doc_id", "ts_s"), "doc_id", "inner")
+               .select("qid", "doc_id",
+                       (F.col("score")
+                        * F.exp(-(age / F.lit(float(tau_s)))))
+                       .alias("score")))
+    return _topk(boosted, k)
+
+
 def query_difficulty(qterms: DataFrame, tstats: DataFrame,
                      n_docs: int, collection_len: int) -> DataFrame:
     """(qid, n_terms, n_matched, avg_idf, max_idf, avg_ictf, scq) —

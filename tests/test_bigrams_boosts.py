@@ -84,3 +84,21 @@ def test_query_difficulty_golden(spark):
     assert got["q1"].scq == pytest.approx(
         (1.0 + math.log(2.0)) * idf_rare, abs=1e-6)
     assert got["q2"].n_matched == 1 and got["q2"].max_idf < got["q1"].max_idf
+
+
+def test_recency_boost_reorders_and_decays(spark):
+    from search_engine_spark.operators.boosts import recency_boosted_topk
+    import math
+    scored = spark.createDataFrame(
+        [("q1", 1, 10.0), ("q1", 2, 8.0), ("q1", 3, 8.0)],
+        "qid string, doc_id long, score double")
+    # doc 1 is old (age 2tau), docs 2/3 fresh (age 0 / tau)
+    ts = spark.createDataFrame(
+        [(1, 0), (2, 200), (3, 100)], "doc_id long, ts_s long")
+    out = recency_boosted_topk(scored, ts, ref_ts_s=200, tau_s=100.0, k=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    # decayed: d1 = 10*e^-2 ≈ 1.353, d2 = 8, d3 = 8*e^-1 ≈ 2.943
+    assert [r.doc_id for r in sorted(rows.values(), key=lambda r: r.rank)] == [2, 3, 1]
+    assert abs(rows[1].score - round(10 * math.exp(-2.0), 6)) <= 1e-6
+    assert rows[2].score == 8.0
+    assert abs(rows[3].score - round(8 * math.exp(-1.0), 6)) <= 1e-6
