@@ -32,8 +32,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode",
                     choices=("auto", "taat", "wand", "maxscore", "phrase",
-                             "near", "lm", "prefix", "fuzzy", "suggest",
-                             "mlt"),
+                             "near", "lm", "prefix", "suffix", "fuzzy",
+                             "suggest", "mlt"),
                     default="wand",
                     help="auto = cost-based pick (MaxScore for shallow k, "
                          "exhaustive for deep k); phrase/near need an index "
@@ -41,6 +41,8 @@ def main() -> None:
                          "as an exact phrase, near as a NEAR/W term bag; "
                          "lm = query-likelihood (Dirichlet) ranking; prefix "
                          "treats each title token as a trailing wildcard; "
+                         "suffix treats each title token as a leading "
+                         "wildcard (*fix, reversed-dictionary join); "
                          "fuzzy = decay-weighted edit-distance expansion; "
                          "suggest = did-you-mean per query term; mlt = "
                          "more-like-this (each title token is a seed doc_id)")
@@ -130,6 +132,12 @@ def main() -> None:
                                                             prefix_topk)
         pq = prefix_query_df(spark, queries)
         res = prefix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, pq,
+                          ix.n_docs, ix.avgdl, k=k_eff)
+    elif args.mode == "suffix":
+        from search_engine_spark.operators.wildcard import (suffix_query_df,
+                                                            suffix_topk)
+        sq = suffix_query_df(spark, queries)
+        res = suffix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, sq,
                           ix.n_docs, ix.avgdl, k=k_eff)
     elif args.mode == "fuzzy":
         from search_engine_spark.operators.fuzzy import (fuzzy_bm25_topk,

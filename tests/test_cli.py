@@ -136,3 +136,12 @@ def test_cli_rescore_two_phase(tmp_path_factory):
     best_p = max(float(r[3]) for r in rows_p)
     best_b = max(float(r[3]) for r in rows_b)
     assert best_b >= best_p - 1e-9
+
+
+def test_cli_suffix_mode(built_index):
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "suffix", "--query", "e", "--k", "5"])
+    rows = [ln.split("\t") for ln in got.strip().splitlines() if "\t" in ln]
+    assert 1 <= len(rows) <= 5
+    assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
+    assert all(float(r[3]) > 0 for r in rows)
