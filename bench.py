@@ -338,7 +338,8 @@ def main() -> None:
              "conv_stats", "conv_topk", "gopher_filter",
              "bigram_perplexity", "conv_dedup", "suffix_topk",
              "segment_queries", "batch_drift", "split_assign",
-             "recency_topk"]
+             "recency_topk",
+             "hll_distinct", "cms_heavy_hitters", "bloom_prune"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -5173,6 +5173,76 @@ rrk AS (SELECT qid, doc_id, score,
         FROM rb)
 SELECT qid, doc_id, rank, score FROM rrk WHERE rank <= 10"""
 
+    # ---- mergeable sketches (operators/sketches.py): every hash is the
+    # portable md5 60-bit convention, every aggregate integer-exact, so
+    # the sketches reproduce bit-for-bit in DuckDB.
+    from .operators import sketches as _sk
+    _hll_rb = _sk.HLL_W_BITS + 1  # 53: rho range upper bound at p=8
+    _hll_rr = f"""
+hh AS (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM ts),
+rr AS (SELECT (h % {_sk.HLL_M})::INT AS reg,
+              (CASE WHEN (h // {_sk.HLL_M}) = 0 THEN {_hll_rb}
+                    ELSE {_hll_rb} - length(bin(h // {_sk.HLL_M}))
+               END)::INT AS rho
+       FROM hh),
+regs AS (SELECT reg, max(rho)::INT AS max_rho FROM rr GROUP BY reg)"""
+
+    sql["hll_registers"] = f"""
+WITH {TOK_CTE},{_hll_rr}
+SELECT reg, max_rho FROM regs"""
+
+    _hll_c = repr(_sk.HLL_ALPHA * _sk.HLL_M * _sk.HLL_M
+                  * float(1 << _hll_rb))
+    sql["hll_distinct"] = f"""
+WITH {TOK_CTE},{_hll_rr},
+s AS (SELECT count(*)::INT AS n_regs_present,
+             sum((1::BIGINT << ({_hll_rb} - max_rho)))::BIGINT AS present_num
+      FROM regs)
+SELECT n_regs_present,
+       ({_sk.HLL_M} - n_regs_present)::INT AS n_zero_regs,
+       (present_num + ({_sk.HLL_M} - n_regs_present)::BIGINT
+                      * (1::BIGINT << {_hll_rb}))::BIGINT AS harmonic_num,
+       ({_hll_c} / (present_num + ({_sk.HLL_M} - n_regs_present)::BIGINT
+                    * (1::BIGINT << {_hll_rb}))::DOUBLE) AS est_raw,
+       (SELECT count(*) FROM ts)::BIGINT AS exact_distinct
+FROM s"""
+
+    sql["cms_heavy_hitters"] = f"""
+WITH {TOK_CTE},
+cnt AS (
+  SELECT g.h::INT AS h,
+         (('0x' || substr(md5(g.h::VARCHAR || ':' || tc.term), 1, 15))::BIGINT
+          % {_sk.CMS_WIDTH})::INT AS bucket,
+         sum(tc.tf)::BIGINT AS c
+  FROM tc, unnest(generate_series(0, {_sk.CMS_DEPTH - 1})) g(h)
+  GROUP BY 1, 2),
+cand AS (SELECT term, cf FROM ts ORDER BY cf DESC, term LIMIT 20),
+probe AS (
+  SELECT cand.term, cand.cf, g.h::INT AS h,
+         (('0x' || substr(md5(g.h::VARCHAR || ':' || cand.term), 1, 15))::BIGINT
+          % {_sk.CMS_WIDTH})::INT AS bucket
+  FROM cand, unnest(generate_series(0, {_sk.CMS_DEPTH - 1})) g(h))
+SELECT p.term, p.cf::BIGINT AS cf_true, min(cnt.c)::BIGINT AS cms_est
+FROM probe p JOIN cnt USING (h, bucket)
+GROUP BY p.term, p.cf"""
+
+    sql["bloom_prune"] = f"""
+WITH {TOK_CTE},
+qk(term) AS (SELECT DISTINCT term
+             FROM (VALUES {_qterms_values()}) v(qid, term, qtf)),
+bits AS (SELECT DISTINCT
+           (('0x' || substr(md5('b' || g.j::VARCHAR || ':' || qk.term),
+                            1, 15))::BIGINT % {_sk.BLOOM_BITS})::INT AS pos
+         FROM qk, unnest(generate_series(0, {_sk.BLOOM_K - 1})) g(j)),
+probe AS (SELECT ts.term,
+            (('0x' || substr(md5('b' || g.j::VARCHAR || ':' || ts.term),
+                             1, 15))::BIGINT % {_sk.BLOOM_BITS})::INT AS pos
+          FROM ts, unnest(generate_series(0, {_sk.BLOOM_K - 1})) g(j)),
+passed AS (SELECT p.term FROM probe p JOIN bits USING (pos)
+           GROUP BY p.term HAVING count(*) = {_sk.BLOOM_K})
+SELECT passed.term, (qk.term IS NOT NULL) AS is_member
+FROM passed LEFT JOIN qk ON passed.term = qk.term"""
+
     return sql
 
 
@@ -5361,6 +5431,63 @@ def q_filter_funnel(spark, sf_dir):
     return filter_funnel(gopher_filter(_docs(spark, sf_dir)))
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (p=8, m=256) over the corpus
+    vocabulary (operators/sketches.py::hll_registers): the MERGEABLE
+    distinct-count sketch — per-shard registers compose via max, so a
+    1000-executor build ships 256 ints per shard instead of the
+    vocabulary. All integer ops (md5 60-bit hash, bin() MSB position);
+    the oracle reproduces every register exactly."""
+    from .operators.sketches import hll_registers
+    _tc_, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    return hll_registers(ts.select("term"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HLL cardinality estimate next to the exact answer: the one-row
+    summary (register occupancy, EXACT integer harmonic numerator, raw
+    estimate = literal/numerator — one double division, bit-identical
+    across engines) plus exact_distinct for the accuracy check the
+    sketch's std error (1.04/sqrt(256) ≈ 6.5%) promises."""
+    from .operators.sketches import hll_estimate, hll_registers
+    _tc_, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    est = hll_estimate(hll_registers(ts.select("term")))
+    exact = ts.agg(F.count("*").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (4x1024) point-queried for the true top-20
+    terms: (term, cf_true, cms_est) with the one-sided guarantee
+    cms_est >= cf_true. The counter build is one map-side-combinable
+    groupBy into <= 4096 cells per partition — constant-size shuffle at
+    any corpus scale; day-shard sketches merge by cell-wise sum."""
+    from .operators.sketches import cms_counters, cms_lookup
+    tc, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    cand = ts.orderBy(F.desc("cf"), "term").limit(20).select("term", "cf")
+    return (cms_lookup(cms_counters(tc), cand.select("term"))
+            .join(F.broadcast(cand), "term")
+            .select("term", F.col("cf").cast("long").alias("cf_true"),
+                    "cms_est"))
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning (2^16 bits, k=7): the query dictionary
+    becomes a broadcastable bit set; the corpus vocabulary is pruned to
+    the terms whose 7 positions are all set BEFORE any exact join —
+    the runtime-filter pattern that cuts posting-fetch shuffle input at
+    scale. Output: surviving terms flagged is_member, so the (rare,
+    deterministic) false positives are visible and value-gated."""
+    from .operators.sketches import bloom_filter_keys, bloom_positions
+    _tc_, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    keys = query_terms_df(spark, QUERY_SET).select("term").distinct()
+    passed = bloom_filter_keys(ts.select("term"), bloom_positions(keys))
+    member = keys.withColumn("is_member", F.lit(True))
+    return (passed.join(F.broadcast(member), "term", "left")
+            .select("term",
+                    F.coalesce("is_member", F.lit(False)).alias("is_member")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats": q_term_stats,
     "doc_stats": q_doc_stats,
@@ -5525,4 +5652,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_drift": q_batch_drift,
     "split_assign": q_split_assign,
     "recency_topk": q_recency_topk,
+    "hll_registers": q_hll_registers,
+    "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "bloom_prune": q_bloom_prune,
 }
