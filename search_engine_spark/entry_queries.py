@@ -5173,6 +5173,31 @@ rrk AS (SELECT qid, doc_id, score,
         FROM rb)
 SELECT qid, doc_id, rank, score FROM rrk WHERE rank <= 10"""
 
+    # streaming LSH near-dup: the batch twin of the first-seen bucket
+    # admission rule — kept iff the doc is the minimum doc_id in EVERY
+    # band bucket it occupies (bandless docs are kept). Signature CTEs
+    # identical to lsh_candidates.
+    sql["lsh_dedup_stream"] = f"""
+WITH {SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, h::INT AS h,
+         min(md5(h::VARCHAR || ':' || shingle)) AS minhash
+  FROM sh, unnest(generate_series(0, {dedup.N_MINHASH - 1})) t(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, (h // {dedup.N_MINHASH // dedup.N_BANDS})::INT AS band_no,
+         md5(string_agg(minhash, '|' ORDER BY h)) AS band_hash
+  FROM sig GROUP BY doc_id, 2
+),
+mins AS (SELECT band_no, band_hash, min(doc_id) AS m
+         FROM bands GROUP BY 1, 2),
+flagged AS (SELECT DISTINCT b.doc_id
+            FROM bands b JOIN mins USING (band_no, band_hash)
+            WHERE b.doc_id > mins.m)
+SELECT doc_id::BIGINT AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)"""
+
     # ---- mergeable sketches (operators/sketches.py): every hash is the
     # portable md5 60-bit convention, every aggregate integer-exact, so
     # the sketches reproduce bit-for-bit in DuckDB.
@@ -5431,6 +5456,46 @@ def q_filter_funnel(spark, sf_dir):
     return filter_funnel(gopher_filter(_docs(spark, sf_dir)))
 
 
+def q_lsh_dedup_stream(spark, sf_dir):
+    """STREAMING MinHash-LSH near-dup filtering
+    (streaming/lsh_dedup_stream.py): the corpus replayed as 3
+    ascending-doc_id micro-batches; a doc is kept iff it is the
+    first-ever occupant of ALL its band buckets, which under ascending
+    replay equals the batch rule 'minimum doc_id in every bucket' that
+    the oracle computes from the same signature pipeline the
+    `lsh_candidates` gate pins. Returns the kept doc_ids (docs without
+    shingles have no buckets and are kept by definition)."""
+    import tempfile
+
+    from .streaming.lsh_dedup_stream import lsh_dedup_stream
+    key = (spark.sparkContext.applicationId, sf_dir, "lsh_dedup_stream")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    root = tempfile.mkdtemp(prefix="segspark_lshdedup_")
+    third = n // 3
+    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third),
+                                  (2 * third, n)]):
+        (docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    out = f"{root}/out"
+    q = (lsh_dedup_stream(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", f"{root}/_ckpt")
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(300)
+    flagged = (spark.read.parquet(out).where(~F.col("is_first"))
+               .select("doc_id").distinct())
+    res = (docs.select("doc_id").join(flagged, "doc_id", "left_anti")
+           .select(F.col("doc_id").cast("long").alias("doc_id")))
+    _CORPUS_CACHE[key] = res
+    return res
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog register table (p=8, m=256) over the corpus
     vocabulary (operators/sketches.py::hll_registers): the MERGEABLE
@@ -5652,6 +5717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_drift": q_batch_drift,
     "split_assign": q_split_assign,
     "recency_topk": q_recency_topk,
+    "lsh_dedup_stream": q_lsh_dedup_stream,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,

@@ -251,3 +251,46 @@ def test_stateful_dedup_stream_drops_cross_batch(spark, tmp_path):
     # one keeper per distinct text: alpha beta→1, gamma→2, delta→5,
     # epsilon→8; docs 3 (in-batch), 4, 6, 7 (cross-batch) are dropped
     assert kept == {1, 2, 5, 8}
+
+
+def test_local_bands_equal_batch_lsh_bands(spark, staged_corpus):
+    """The streaming-safe row-local band computation must be
+    byte-identical to the batch groupBy path on a real corpus."""
+    from search_engine_spark.operators.dedup import lsh_bands
+    from search_engine_spark.streaming.lsh_dedup_stream import local_bands
+    _root, tw, _n = staged_corpus
+    docs = tw.select("doc_id", "text")
+    a = {(r.doc_id, r.band_no, r.band_hash) for r in lsh_bands(docs).collect()}
+    b = {(r.doc_id, r.band_no, r.band_hash) for r in local_bands(docs).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stateful_lsh_dedup_stream_flags_cross_batch(spark, tmp_path):
+    """Near-dups arriving in later micro-batches (or later in the same
+    batch) are flagged; keepers are the min doc_id of every bucket they
+    occupy. Texts 1/3/4 are identical (same buckets); 2/6 identical;
+    5 and 8 unique."""
+    from search_engine_spark.streaming.lsh_dedup_stream import lsh_dedup_stream
+    import pyspark.sql.functions as F
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    long_b = "pack my box with five dozen liquor jugs every single day ok"
+    b0 = [(1, long_a), (2, long_b), (3, long_a)]
+    b1 = [(4, long_a), (5, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")]
+    b2 = [(6, long_b), (8, "sphinx of black quartz judge my vow now and here today")]
+    root = tmp_path / "lsh_src"
+    root.mkdir()
+    for i, rows in enumerate([b0, b1, b2]):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("overwrite").parquet(str(root / f"chunk{i}")))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/chunk*"))
+    out = str(tmp_path / "lsh_out")
+    q = (lsh_dedup_stream(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "lsh_ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(240)
+    res = spark.read.parquet(out)
+    flagged = {r.doc_id for r in
+               res.where(~F.col("is_first")).select("doc_id").distinct().collect()}
+    assert flagged == {3, 4, 6}
