@@ -339,7 +339,8 @@ def main() -> None:
              "bigram_perplexity", "conv_dedup", "suffix_topk",
              "segment_queries", "batch_drift", "split_assign",
              "recency_topk",
-             "hll_distinct", "cms_heavy_hitters", "bloom_prune"]
+             "hll_distinct", "cms_heavy_hitters", "bloom_prune",
+             "hard_negatives"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

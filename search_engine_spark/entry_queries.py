@@ -5173,6 +5173,23 @@ rrk AS (SELECT qid, doc_id, score,
         FROM rb)
 SELECT qid, doc_id, rank, score FROM rrk WHERE rank <= 10"""
 
+    sql["hard_negatives"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 30),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+neg AS (
+  SELECT r.qid, r.doc_id, r.score,
+         (row_number() OVER (PARTITION BY r.qid ORDER BY r.rank))::INT
+           AS neg_rank
+  FROM runq r LEFT JOIN qrels qr
+    ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+  WHERE qr.doc_id IS NULL)
+SELECT qid, doc_id, neg_rank, score FROM neg WHERE neg_rank <= 10"""
+
     # streaming LSH near-dup: the batch twin of the first-seen bucket
     # admission rule — kept iff the doc is the minimum doc_id in EVERY
     # band bucket it occupies (bandless docs are kept). Signature CTEs
@@ -5456,6 +5473,18 @@ def q_filter_funnel(spark, sf_dir):
     return filter_funnel(gopher_filter(_docs(spark, sf_dir)))
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for ranker training
+    (operators/ltr.py::hard_negatives): top-10 non-relevant docs per
+    query from the depth-30 BM25 run, positives (deterministic qrels)
+    anti-joined out, first-pass order kept."""
+    from .operators.ltr import hard_negatives
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    run = bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=30)
+    return hard_negatives(run, _qrels(spark, sf_dir), n_neg=10)
+
+
 def q_lsh_dedup_stream(spark, sf_dir):
     """STREAMING MinHash-LSH near-dup filtering
     (streaming/lsh_dedup_stream.py): the corpus replayed as 3
@@ -5717,6 +5746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_drift": q_batch_drift,
     "split_assign": q_split_assign,
     "recency_topk": q_recency_topk,
+    "hard_negatives": q_hard_negatives,
     "lsh_dedup_stream": q_lsh_dedup_stream,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,

@@ -75,3 +75,26 @@ def ltr_features(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                     F.round(F.col("n_matched")
                             / F.col("n_qterms").cast("double"), 6)
                      .alias("coverage")))
+
+
+def hard_negatives(run: DataFrame, qrels: DataFrame,
+                   n_neg: int = 10) -> DataFrame:
+    """(qid, doc_id, neg_rank, score): the top n_neg NON-relevant docs
+    per query from a deep first-pass run — the standard hard-negative
+    miner for training dense retrievers / cross-encoders (BM25-ranked
+    negatives are "hard" precisely because the cheap ranker liked
+    them). Positives are anti-joined out, the first-pass retrieval
+    order is kept, and survivors are re-ranked 1..n_neg.
+
+    Scale shape: qrels is the small judged set (broadcast anti-join,
+    never a shuffle of the run); the re-rank window partitions by qid
+    over <= run-depth rows (WindowGroupLimit-pushed top-n), so cost is
+    |Q| x depth regardless of corpus size.
+    """
+    from pyspark.sql import Window
+    neg = run.join(F.broadcast(qrels.select("qid", "doc_id")),
+                   ["qid", "doc_id"], "left_anti")
+    w = Window.partitionBy("qid").orderBy("rank")
+    return (neg.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("neg_rank") <= n_neg)
+            .select("qid", "doc_id", "neg_rank", "score"))

@@ -100,7 +100,8 @@ def lsh_dedup_stream(docs: DataFrame, n: int = 3,
             yield pd.DataFrame(columns=_COLS)
             return
         ids.sort()
-        state.update((1,))
+        if not occupied:  # occupied buckets never transition back
+            state.update((1,))
         yield pd.DataFrame({
             "band_no": [band_no] * len(ids),
             "band_hash": [band_hash] * len(ids),

@@ -220,3 +220,21 @@ def test_pl2_matches_bruteforce(spark, tiny_corpus):
            pl2_topk(tc, ds, ts, query_terms_df(spark, query),
                     n, avgdl, k=10).orderBy("rank").collect()]
     assert got == want
+
+
+def test_hard_negatives_golden(spark):
+    """Positives anti-joined out, first-pass order kept, re-ranked
+    1..n_neg, truncated."""
+    from search_engine_spark.operators.ltr import hard_negatives
+    run = spark.createDataFrame(
+        [("q1", d, r, 10.0 - r) for r, d in enumerate([7, 3, 9, 1, 5], 1)]
+        + [("q2", d, r, 5.0 - r) for r, d in enumerate([2, 4], 1)],
+        "qid string, doc_id long, rank int, score double")
+    qrels = spark.createDataFrame(
+        [("q1", 3), ("q1", 1), ("q2", 9)], "qid string, doc_id long")
+    got = {(r.qid, r.neg_rank): (r.doc_id, r.score) for r in
+           hard_negatives(run, qrels, n_neg=2).collect()}
+    # q1: 3 and 1 are positives -> negatives in run order: 7, 9, (5 cut)
+    # q2: no positives in run -> 2, 4
+    assert got == {("q1", 1): (7, 9.0), ("q1", 2): (9, 7.0),
+                   ("q2", 1): (2, 4.0), ("q2", 2): (4, 3.0)}
