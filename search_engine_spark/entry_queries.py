@@ -5173,6 +5173,27 @@ rrk AS (SELECT qid, doc_id, score,
         FROM rb)
 SELECT qid, doc_id, rank, score FROM rrk WHERE rank <= 10"""
 
+    sql["next_word_topk"] = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l
+  FROM documents
+),
+bg AS (
+  SELECT l[i] AS context, l[i + 1] AS next_term
+  FROM tokl, unnest(generate_series(1, len(l) - 1)) t(i)
+),
+qk(context) AS (SELECT DISTINCT term
+                FROM (VALUES {_qterms_values()}) v(qid, term, qtf)),
+cb AS (SELECT bg.context, bg.next_term, count(*)::BIGINT AS n
+       FROM bg JOIN qk USING (context) GROUP BY 1, 2),
+tot AS (SELECT context, sum(n)::BIGINT AS tot FROM cb GROUP BY 1),
+rk AS (SELECT cb.context, cb.next_term, cb.n,
+              round(cb.n / tot.tot::DOUBLE, 6) AS prob,
+              (row_number() OVER (PARTITION BY cb.context
+                   ORDER BY cb.n DESC, cb.next_term))::INT AS rank
+       FROM cb JOIN tot USING (context))
+SELECT context, next_term, n, prob, rank FROM rk WHERE rank <= 5"""
+
     sql["hard_negatives"] = f"""
 WITH {_bm25_ctes()},
 runq AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 30),
@@ -5473,6 +5494,16 @@ def q_filter_funnel(spark, sf_dir):
     return filter_funnel(gopher_filter(_docs(spark, sf_dir)))
 
 
+def q_next_word_topk(spark, sf_dir):
+    """Query-autocomplete continuation (operators/bigrams.py::
+    next_word_topk): top-5 next words per QUERY_SET term by corpus
+    bigram count, with the MLE continuation probability."""
+    from .operators.bigrams import bigram_counts, next_word_topk
+    bc = bigram_counts(_docs(spark, sf_dir))
+    contexts = query_terms_df(spark, QUERY_SET).select("term").distinct()
+    return next_word_topk(bc, contexts, k=5)
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for ranker training
     (operators/ltr.py::hard_negatives): top-10 non-relevant docs per
@@ -5747,6 +5778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "recency_topk": q_recency_topk,
     "hard_negatives": q_hard_negatives,
+    "next_word_topk": q_next_word_topk,
     "lsh_dedup_stream": q_lsh_dedup_stream,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,

@@ -85,3 +85,37 @@ def phrase_match_by_bigrams(bc: DataFrame, qbigrams: DataFrame) -> DataFrame:
     return (m.join(F.broadcast(nq), "qid", "inner")
             .where(F.col("_hit") == F.col("_nbi"))
             .select("qid", "doc_id", "min_pair_tf"))
+
+
+def next_word_topk(bc: DataFrame, contexts: DataFrame,
+                   k: int = 5) -> DataFrame:
+    """(context, next_term, n, prob, rank): the top-k corpus
+    continuations of each context term by bigram count — query
+    autocomplete's "next word" suggester, served straight off the
+    nextword index relation (`bigram_counts`).
+
+    prob is the MLE continuation probability n / Σn over ALL
+    continuations of the context (computed before the top-k cut), so
+    the suggester doubles as the conditional bigram distribution.
+
+    Scale shape: the context set is query-sized and broadcast, so the
+    big bigram relation is semi-join-pruned before any aggregation;
+    the per-context re-rank window runs over that context's distinct
+    continuations only (WindowGroupLimit top-k).
+    """
+    from pyspark.sql import Window
+    split = F.split("bigram", " ")
+    cb = (bc.select(split.getItem(0).alias("context"),
+                    split.getItem(1).alias("next_term"), "tf")
+          .join(F.broadcast(contexts.select(F.col("term").alias("context"))),
+                "context")
+          .groupBy("context", "next_term")
+          .agg(F.sum("tf").cast("long").alias("n")))
+    tot = cb.groupBy("context").agg(F.sum("n").alias("_tot"))
+    w = Window.partitionBy("context").orderBy(F.desc("n"), "next_term")
+    return (cb.join(tot, "context")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("context", "next_term", "n",
+                    F.round(F.col("n") / F.col("_tot"), 6).alias("prob"),
+                    "rank"))

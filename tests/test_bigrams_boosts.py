@@ -102,3 +102,21 @@ def test_recency_boost_reorders_and_decays(spark):
     assert abs(rows[1].score - round(10 * math.exp(-2.0), 6)) <= 1e-6
     assert rows[2].score == 8.0
     assert abs(rows[3].score - round(8 * math.exp(-1.0), 6)) <= 1e-6
+
+
+def test_next_word_topk_golden(spark):
+    """Counts, MLE prob over ALL continuations (not just top-k), and
+    the (n desc, term asc) tie order."""
+    from search_engine_spark.operators.bigrams import (bigram_counts,
+                                                       next_word_topk)
+    docs = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "to be is to do"),
+         (3, "do be do be do")],
+        "doc_id long, text string")
+    ctx = spark.createDataFrame([("to",), ("do",)], "term string")
+    got = {(r.context, r.rank): (r.next_term, r.n, r.prob) for r in
+           next_word_topk(bigram_counts(docs), ctx, k=2).collect()}
+    # 'to' continuations: be×3, do×1 (tot 4); 'do' (doc3 only,
+    # doc2's trailing 'do' has no successor): be×2 (tot 2)
+    assert got == {("to", 1): ("be", 3, 0.75), ("to", 2): ("do", 1, 0.25),
+                   ("do", 1): ("be", 2, 1.0)}
