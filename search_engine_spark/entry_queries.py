@@ -5306,6 +5306,98 @@ passed AS (SELECT p.term FROM probe p JOIN bits USING (pos)
 SELECT passed.term, (qk.term IS NOT NULL) AS is_member
 FROM passed LEFT JOIN qk ON passed.term = qk.term"""
 
+    # winnowing (Schleimer et al. 2003): k=4 token shingles, w=4
+    # window, md5-60-bit hashes — Spark side is 0-based posexplode, so
+    # its `pos <= m - 4` is this 1-based `pos <= m - 3`.
+    sql["winnow_fingerprints"] = f"""
+WITH wtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents
+),
+wsh AS (
+  SELECT doc_id, i::INT AS pos,
+         ('0x' || substr(md5(l[i] || '_' || l[i+1] || '_' || l[i+2] || '_' || l[i+3]), 1, 15))::BIGINT AS h,
+         (len(l) - 3)::INT AS m
+  FROM wtok, unnest(generate_series(1, greatest(len(l) - 3, 0))) t(i)
+),
+wmin AS (
+  SELECT doc_id, pos, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM wsh)
+SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= m - 3"""
+
+    sql["containment_pairs"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cp AS (
+  SELECT doc_a, doc_b,
+         round(inter / least(sa.n_sh, sb.n_sh), 6) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, containment FROM cp WHERE containment >= 0.6"""
+
+    sql["token_entropy"] = f"""
+WITH {TOK_CTE},
+es AS (SELECT doc_id, sum(tf * ln(tf::DOUBLE)) AS s FROM tc GROUP BY doc_id),
+ej AS (SELECT es.doc_id, ln(ds.dl::DOUBLE) - es.s / ds.dl AS ent, ds.uniq
+       FROM es JOIN ds USING (doc_id))
+SELECT doc_id, round(ent, 6) AS entropy,
+       CASE WHEN uniq > 1 THEN round(ent / ln(uniq::DOUBLE), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM ej"""
+
+    # closed-form least squares (NOT regr_slope — its accumulation
+    # order is engine-internal); both engines spell the same formula.
+    sql["zipf_slope"] = f"""
+WITH {TOK_CTE},
+zt AS (SELECT term, cf FROM ts ORDER BY cf DESC, term LIMIT 100),
+zr AS (SELECT ln((row_number() OVER (ORDER BY cf DESC, term))::DOUBLE) AS x,
+              ln(cf::DOUBLE) AS y
+       FROM zt),
+za AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x*y) AS sxy, sum(x*x) AS sxx FROM zr)
+SELECT n::BIGINT AS n_terms,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n, 6)
+         AS intercept
+FROM za"""
+
+    # CORI resource selection (operators/shards.py), 8 shards by
+    # doc_id % 8, top-4 shards per query; absent (term, shard) pairs
+    # contribute the 0.4 belief floor via the LEFT JOIN grid.
+    sql["shard_select"] = f"""
+WITH {TOK_CTE},
+tsh AS (SELECT (doc_id % 8)::INT AS shard_id, term, count(*)::BIGINT AS df_s
+        FROM tc GROUP BY 1, 2),
+ssz AS (SELECT (doc_id % 8)::INT AS shard_id, sum(dl)::BIGINT AS cw_s
+        FROM ds GROUP BY 1),
+acw AS (SELECT avg(cw_s) AS a FROM ssz),
+sfr AS (SELECT term, count(*)::BIGINT AS sf_t FROM tsh GROUP BY term),
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+grid AS (
+  SELECT q.qid, q.qtf, s.shard_id, s.cw_s, t.df_s, f.sf_t
+  FROM q CROSS JOIN ssz s
+  LEFT JOIN tsh t ON t.shard_id = s.shard_id AND t.term = q.term
+  LEFT JOIN sfr f ON f.term = q.term),
+bel AS (
+  SELECT qid, shard_id,
+         qtf * (0.4 + 0.6
+            * (coalesce(df_s, 0)::DOUBLE
+               / (coalesce(df_s, 0) + 50.0 + 150.0 * cw_s / (SELECT a FROM acw)))
+            * (ln(8.5 / coalesce(sf_t, 1)::DOUBLE) / ln(9.0))) AS b
+  FROM grid),
+scs AS (SELECT qid, shard_id, round(sum(b), 6) AS score FROM bel GROUP BY 1, 2),
+srk AS (SELECT qid, shard_id, score,
+               (row_number() OVER (PARTITION BY qid ORDER BY score DESC, shard_id))::INT AS rank
+        FROM scs)
+SELECT qid, shard_id, rank, score FROM srk WHERE rank <= 4"""
+
     return sql
 
 
@@ -5613,6 +5705,49 @@ def q_bloom_prune(spark, sf_dir):
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing local fingerprints (textstats.py::winnow_fingerprints,
+    k=4 w=4): guaranteed to catch any shared run of ≥ 7 tokens while
+    storing ~2/(w+1) of the shingle hashes — per-doc window only,
+    zero joins."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Shingle containment |A∩B| / min(|A|,|B|) ≥ 0.6 — the quote /
+    subset detector Jaccard misses (dedup.py::containment_pairs; same
+    banded equi-join scale shape as dedup_jaccard)."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the term distribution
+    (textstats.py::token_entropy) — one map-side-combinable groupBy."""
+    tc, ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    return textstats.token_entropy(tc, ds)
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit over the top-100 terms
+    (textstats.py::zipf_slope) — TakeOrderedAndProject top-N, then a
+    closed-form least-squares over 100 rows. The skew dial that sizes
+    hot-term salting before a 100 TB build."""
+    _tc_, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    return textstats.zipf_slope(ts, top_n=100)
+
+
+def q_shard_select(spark, sf_dir):
+    """CORI shard routing (operators/shards.py): 8 shards by
+    doc_id % 8, top-4 shards per query from per-shard df/size stats
+    only — the O(shards × vocab) broadcastable routing table that cuts
+    a 1000-shard serving fan-out to the shards that can contribute."""
+    from .operators.shards import cori_select, shard_stats
+    tc, ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    tsh, ssz = shard_stats(tc, ds, n_shards=8)
+    return cori_select(tsh, ssz, query_terms_df(spark, QUERY_SET),
+                       n_shards=8, top_m=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats": q_term_stats,
     "doc_stats": q_doc_stats,
@@ -5784,4 +5919,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prune": q_bloom_prune,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "containment_pairs": q_containment_pairs,
+    "token_entropy": q_token_entropy,
+    "zipf_slope": q_zipf_slope,
+    "shard_select": q_shard_select,
 }

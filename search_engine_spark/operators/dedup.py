@@ -259,3 +259,44 @@ def simhash_pairs_banded(docs: DataFrame, bits: int = 32,
     return (cand.join(fa, "doc_a").join(fb, "doc_b")
             .where(ham <= max_hamming)
             .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))
+
+
+def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT ≥ threshold.
+
+    (doc_a, doc_b, containment) with doc_a < doc_b and
+    containment = |A∩B| / min(|A|, |B|), rounded 6dp — the Broder
+    containment measure. Jaccard misses quote/subset relations (a doc
+    embedded verbatim in a 10× longer one has Jaccard ≈ 0.1 but
+    containment = 1.0); training-data curation needs exactly this to
+    catch quoted boilerplate and partial copies.
+
+    Same scale shape as jaccard_pairs: shingle equi-join (never a doc
+    cross-join), `max_shingle_df` drops boilerplate shingles before
+    the self-join (None keeps exact semantics for the oracle gate).
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("sdf")) \
+                .where(F.col("sdf") > max_shingle_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("containment", F.round(
+            F.col("inter") / F.least(F.col("na"), F.col("nb")), 6))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -1,0 +1,88 @@
+"""CORI resource selection: rank index shards per query, route the
+query to the top-m shards instead of broadcasting it to all of them.
+
+At 10^12 documents the index lives in O(1000) shards; answering every
+query against every shard costs 1000 posting-fetch fan-outs. CORI
+(Callan, Lu & Croft, "Searching distributed collections with
+inference networks", SIGIR 1995) scores each shard from per-shard
+term statistics only — a relation of size O(shards × vocab) that is
+tiny next to the index and broadcastable — so the router prunes the
+fan-out to the shards that can actually contribute top-k hits.
+
+    T(t, s) = df_s / (df_s + DF_BASE + DF_FACTOR * cw_s / avg_cw)
+    I(t)    = ln((NS + 0.5) / sf_t) / ln(NS + 1.0)
+    belief(t, s) = B_DEFAULT + (1 - B_DEFAULT) * T * I
+    score(q, s)  = SUM_t qtf(t) * belief(t, s)
+
+where df_s = shard document frequency, cw_s = shard token count,
+avg_cw = mean shard token count, sf_t = number of shards containing
+t, NS = shard count. A term absent from a shard contributes the
+B_DEFAULT floor (T = 0), exactly as in the paper.
+
+Reference analogue: /root/reference/src/invertedIndex.py keeps one
+monolithic df table; this is the per-shard factoring of the same
+statistics that a sharded deployment of it would need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+CORI_DF_BASE = 50.0
+CORI_DF_FACTOR = 150.0
+CORI_B_DEFAULT = 0.4
+
+
+def shard_stats(tc: DataFrame, ds: DataFrame,
+                n_shards: int = 8) -> tuple[DataFrame, DataFrame]:
+    """Per-shard term stats for shard_id = doc_id % n_shards.
+
+    Returns (term_shard, shard_size):
+      term_shard: (shard_id, term, df_s)
+      shard_size: (shard_id, cw_s)   — total tokens per shard
+
+    One groupBy each over the posting relation; output is
+    O(shards × vocab) and O(shards) — the broadcastable routing table.
+    """
+    sid = (F.col("doc_id") % n_shards).cast("int").alias("shard_id")
+    term_shard = (tc.select(sid, "term")
+                  .groupBy("shard_id", "term")
+                  .agg(F.count("*").cast("long").alias("df_s")))
+    shard_size = (ds.select(sid, "dl")
+                  .groupBy("shard_id")
+                  .agg(F.sum("dl").cast("long").alias("cw_s")))
+    return term_shard, shard_size
+
+
+def cori_select(term_shard: DataFrame, shard_size: DataFrame,
+                qterms: DataFrame, n_shards: int,
+                top_m: int = 4) -> DataFrame:
+    """(qid, shard_id, rank, score) — top-m shards per query.
+
+    The full qterm × shard grid is built first (both sides bounded:
+    query set × shard count) so absent terms hit the B_DEFAULT floor;
+    shard stats join in broadcast. Score rounded 6dp before ranking,
+    shard_id tiebreak — the repo's cross-engine ranking contract."""
+    avg_cw = shard_size.agg(F.avg("cw_s")).collect()[0][0]
+    sf = term_shard.groupBy("term").agg(
+        F.count("*").cast("long").alias("sf_t"))
+    shards = shard_size.select("shard_id", "cw_s")
+    grid = (qterms.crossJoin(F.broadcast(shards))
+            .join(F.broadcast(term_shard), ["shard_id", "term"], "left")
+            .join(F.broadcast(sf), "term", "left"))
+    t_part = (F.coalesce(F.col("df_s"), F.lit(0)).cast("double")
+              / (F.coalesce(F.col("df_s"), F.lit(0))
+                 + CORI_DF_BASE
+                 + CORI_DF_FACTOR * F.col("cw_s") / F.lit(float(avg_cw))))
+    i_part = (F.log((float(n_shards) + 0.5)
+                    / F.coalesce(F.col("sf_t"), F.lit(1)).cast("double"))
+              / F.log(F.lit(float(n_shards) + 1.0)))
+    belief = CORI_B_DEFAULT + (1.0 - CORI_B_DEFAULT) * t_part * i_part
+    scored = (grid.groupBy("qid", "shard_id")
+              .agg(F.round(F.sum(F.col("qtf") * belief), 6).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("shard_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= top_m)
+            .select("qid", "shard_id", "rank", "score"))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..conf import load_stopwords
 from ..functions.tokenize import tokens_col
@@ -464,3 +465,103 @@ def doc_keywords(tc: DataFrame, tstats: DataFrame, n_docs: int,
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= int(k))
             .select("doc_id", "term", "tf", "score", "rank"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: local algorithms for document
+    fingerprinting", SIGMOD 2003).
+
+    Hash every k-token shingle in position order (md5 60-bit, the
+    repo's engine-portable hash), slide a w-wide window over the hash
+    sequence, keep each window's MINIMUM hash, dedup per doc. The
+    guarantee: any two documents sharing a run of >= w + k - 1 tokens
+    share at least one fingerprint, while only ~2/(w+1) of the shingle
+    hashes are stored — the local-fingerprint contract that exact-hash
+    dedup lacks and full shingle sets pay |doc| storage for.
+
+    Scale shape: one per-doc window (partitioned by doc_id — never a
+    global sort) over the posexploded shingle stream, then a distinct.
+    Zero joins; output is the near-dup join key for a downstream
+    bucket-groupBy exactly like lsh_candidates.
+    """
+    from .dedup import _shingles_from
+    sh = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                      tokens_col(text_col).alias("_toks"))
+          .select("doc_id",
+                  F.posexplode(_shingles_from(F.col("_toks"), k))
+                  .alias("pos", "shingle"),
+                  (F.greatest(F.size("_toks") - (k - 1), F.lit(0)))
+                  .alias("m")))
+    h = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+         .cast("long").alias("h"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    return (sh.select("doc_id", "pos", "m", h)
+            .withColumn("fp", F.min("h").over(win))
+            .where(F.col("pos") <= F.col("m") - w)  # 0-based window starts
+            .select("doc_id", "fp").distinct())
+
+
+def token_entropy(tc: DataFrame, ds: DataFrame) -> DataFrame:
+    """(doc_id, entropy, norm_entropy) — per-doc Shannon entropy of the
+    term distribution, the repetitiveness dial quality filters cut on
+    (low entropy = template/spam text; see the Gopher/C4 filter line).
+
+    H(d) = -SUM_t (tf/dl) ln(tf/dl) = ln(dl) - (1/dl) SUM_t tf ln tf
+    norm = H / ln(uniq)  (0 when uniq = 1 — a one-term doc has no
+    spread to normalize).
+
+    The factored form needs ONE aggregate over tc (sum tf·ln tf) — a
+    single map-side-combinable groupBy(doc_id), no per-term division.
+    """
+    s = (tc.groupBy("doc_id")
+         .agg(F.sum(F.col("tf") * F.log(F.col("tf").cast("double")))
+              .alias("_s")))
+    j = s.join(ds.select("doc_id", "dl", "uniq"), "doc_id")
+    ent = F.log(F.col("dl").cast("double")) - F.col("_s") / F.col("dl")
+    return j.select(
+        "doc_id",
+        F.round(ent, 6).alias("entropy"),
+        F.when(F.col("uniq") > 1,
+               F.round(ent / F.log(F.col("uniq").cast("double")), 6))
+        .otherwise(F.lit(0.0)).alias("norm_entropy"))
+
+
+def zipf_slope(ts: DataFrame, top_n: int = 100) -> DataFrame:
+    """One row: (n_terms, slope, intercept) — least-squares fit of
+    ln(cf) against ln(rank) over the top_n most frequent terms (rank
+    by cf desc, term asc). A healthy natural-language corpus fits
+    slope ≈ -1 (Zipf); the fitted slope is the skew dial that sizes
+    hot-term salting (conf.salt_buckets_for) and stopword budgets
+    before a 100 TB build is launched.
+
+    Both engines spell the same closed form (no regr_slope — its
+    internal accumulation order is engine-specific):
+      slope = (SUM xy - SUM x · SUM y / n) / (SUM x² - (SUM x)² / n)
+    over O(top_n) rows, rounded 6dp.
+    """
+    # sort+limit compiles to TakeOrderedAndProject (per-partition top-N
+    # merged on the driver — distributed at any vocab size); the rank
+    # window then runs over only top_n rows, never the full dictionary
+    top = (ts.select("term", "cf")
+           .orderBy(F.desc("cf"), F.asc("term")).limit(top_n)
+           .withColumn("r", F.row_number().over(
+               Window.orderBy(F.desc("cf"), F.asc("term")))))
+    xy = top.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("cf").cast("double")).alias("y"))
+    agg = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    slope = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+             / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")))
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / F.col("n")
+                - slope * F.col("sx") / F.col("n"), 6).alias("intercept"))
