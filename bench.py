@@ -340,7 +340,9 @@ def main() -> None:
              "segment_queries", "batch_drift", "split_assign",
              "recency_topk",
              "hll_distinct", "cms_heavy_hitters", "bloom_prune",
-             "hard_negatives", "next_word_topk"]
+             "hard_negatives", "next_word_topk",
+             "winnow_fingerprints", "containment_pairs", "token_entropy",
+             "zipf_slope", "shard_select"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
