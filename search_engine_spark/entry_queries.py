@@ -2535,6 +2535,8 @@ FROM tc"""
     sql["wand_topk_hybrid"] = _bm25_sql(k=10)
     sql["wand_topk_maxscore"] = _bm25_sql(k=10)
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
+    # Elias-Fano codec round-trip is value-invisible: same oracle
+    sql["bm25_topk_ef"] = _bm25_sql(k=10)
     sql["bm25_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
     sql["wand_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
     sql["bm25_topk_auto"] = _bm25_sql(k=10)
@@ -5705,6 +5707,23 @@ def q_bloom_prune(spark, sf_dir):
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
 
 
+def q_bm25_topk_ef(spark, sf_dir):
+    """BM25 served through the Elias-Fano compressed path: blocked
+    index → EF-encode doc-ids (quasi-succinct, 2+log2(u/n) bits/id —
+    functions/ef_codec.py) + varbyte tfs → term-prune → decode →
+    score. Same oracle as bm25_topk, so the codec round-trip sits
+    inside the value gate exactly like the varbyte twin."""
+    from .functions.ef_codec import decoded_postings_long_ef, encode_index_ef
+    tc, ds, _, n_docs, avgdl = _corpus(spark, sf_dir)
+    enc = encode_index_ef(postings_blocked(tc, n_docs, salt_buckets=8))
+    q = query_terms_df(spark, QUERY_SET)
+    pruned = enc.join(F.broadcast(q.select("term").distinct()),
+                      "term", "leftsemi")
+    flat = decoded_postings_long_ef(pruned).select(
+        "term", "doc_id", "tf", "df")
+    return bm25_topk_from_flat(flat, ds, q, n_docs, avgdl, k=10)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing local fingerprints (textstats.py::winnow_fingerprints,
     k=4 w=4): guaranteed to catch any shared run of ≥ 7 tokens while
@@ -5919,6 +5938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prune": q_bloom_prune,
+    "bm25_topk_ef": q_bm25_topk_ef,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,
