@@ -5308,6 +5308,27 @@ passed AS (SELECT p.term FROM probe p JOIN bits USING (pos)
 SELECT passed.term, (qk.term IS NOT NULL) AS is_member
 FROM passed LEFT JOIN qk ON passed.term = qk.term"""
 
+    # Moffat–Zobel bounded-accumulator TAAT: admission walks terms
+    # rarest-first (df asc, term asc), keeps the longest prefix with
+    # cumulative df <= 120 (rarest always kept), scores admitted docs
+    # fully — the windows run over the tiny query relation only.
+    sql["taat_bounded_topk"] = f"""
+WITH {_bm25_ctes()},
+qr AS (SELECT qid, term, df,
+              row_number() OVER (PARTITION BY qid ORDER BY df, term) AS trk,
+              sum(df) OVER (PARTITION BY qid ORDER BY df, term
+                            ROWS UNBOUNDED PRECEDING) AS cumdf
+       FROM (SELECT q.qid, q.term, ts.df FROM q JOIN ts USING (term))),
+adm AS (SELECT qid, term FROM qr WHERE trk = 1 OR cumdf <= 120),
+adoc AS (SELECT DISTINCT adm.qid, tc.doc_id FROM adm JOIN tc USING (term)),
+tsc AS (SELECT s.qid, s.doc_id, s.score FROM scored s
+        JOIN adoc USING (qid, doc_id)),
+trnk AS (SELECT qid, doc_id, score,
+                (row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc_id))::INT AS rank
+         FROM tsc)
+SELECT qid, doc_id, rank, score FROM trnk WHERE rank <= 10"""
+
     # winnowing (Schleimer et al. 2003): k=4 token shingles, w=4
     # window, md5-60-bit hashes — Spark side is 0-based posexplode, so
     # its `pos <= m - 4` is this 1-based `pos <= m - 3`.
@@ -5707,6 +5728,18 @@ def q_bloom_prune(spark, sf_dir):
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
 
 
+def q_taat_bounded_topk(spark, sf_dir):
+    """Accumulator-bounded TAAT (Moffat–Zobel 'continue',
+    operators/query.py::taat_bounded_topk, budget 120): new
+    accumulators stop at the cumulative-df budget walking terms
+    rarest-first; admitted docs score FULLY over all query terms.
+    Memory and shuffle bounded by the budget, not the collection."""
+    from .operators.query import taat_bounded_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    return taat_bounded_topk(tc, ds, ts, query_terms_df(spark, QUERY_SET),
+                             n_docs, avgdl, acc_budget=120, k=10)
+
+
 def q_bm25_topk_ef(spark, sf_dir):
     """BM25 served through the Elias-Fano compressed path: blocked
     index → EF-encode doc-ids (quasi-succinct, 2+log2(u/n) bits/id —
@@ -5939,6 +5972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prune": q_bloom_prune,
     "bm25_topk_ef": q_bm25_topk_ef,
+    "taat_bounded_topk": q_taat_bounded_topk,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,

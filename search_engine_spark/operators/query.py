@@ -100,6 +100,51 @@ def bm25_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                              k1=k1, b=b), k)
 
 
+def taat_bounded_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                      qterms: DataFrame, n_docs: int, avgdl: float,
+                      acc_budget: int = 200, k: int = TOP_K_DEFAULT,
+                      k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Accumulator-bounded TAAT, the Moffat–Zobel 'continue' strategy
+    (TOIS 1996) recast relationally: terms are processed rarest-first,
+    NEW accumulators stop being created once the budget is reached,
+    but every admitted accumulator keeps receiving updates from the
+    remaining (frequent) terms.
+
+    Deterministic admission rule: rank each query's terms by ascending
+    df (term asc tiebreak); a doc is admitted iff it contains a term
+    in the longest prefix whose CUMULATIVE df ≤ acc_budget (the rarest
+    term is always admitted — a query must score something). Admitted
+    docs then get their FULL BM25 score over all query terms, so
+    scores are exact for every returned doc; only tail recall is
+    traded, which is the published contract of the strategy.
+
+    Why it matters at 10^12 docs: exhaustive TAAT materializes one
+    accumulator per (qid, candidate) — for stopword-heavy queries that
+    is the corpus. Here the admission semi-join caps the scoring
+    relation at ~acc_budget rows per query BEFORE the score shuffle,
+    so both memory and shuffle bytes are bounded by the budget, not by
+    the collection. All admission windows run over the query-term
+    relation (bounded by the query set), never over postings.
+
+    Reference analogue: the TAAT accumulation loop
+    (/root/reference/src/invertedIndex.py's score accumulation dict) —
+    this is its memory-bounded production variant.
+    """
+    qdf = qterms.join(tstats.select("term", "df"), "term", "inner")
+    w_rk = Window.partitionBy("qid").orderBy(F.asc("df"), F.asc("term"))
+    ranked = (qdf.withColumn("trk", F.row_number().over(w_rk))
+              .withColumn("cumdf", F.sum("df").over(
+                  w_rk.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))))
+    admit_terms = ranked.where((F.col("trk") == 1)
+                               | (F.col("cumdf") <= acc_budget))
+    admitted = (tc.join(F.broadcast(admit_terms.select("qid", "term")),
+                        "term", "inner")
+                .select("qid", "doc_id").distinct())
+    scored = bm25_scores(tc, ds, tstats, qterms, n_docs, avgdl, k1=k1, b=b)
+    return _topk(scored.join(admitted, ["qid", "doc_id"], "leftsemi"), k)
+
+
 def bm25plus_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                   qterms: DataFrame, n_docs: int, avgdl: float,
                   k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
