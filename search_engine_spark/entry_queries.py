@@ -2537,6 +2537,9 @@ FROM tc"""
     sql["bm25_topk_varbyte"] = _bm25_sql(k=10)
     # Elias-Fano codec round-trip is value-invisible: same oracle
     sql["bm25_topk_ef"] = _bm25_sql(k=10)
+    # scatter-gather with global stats is rank-identical to monolithic
+    # serving (distributed-serving safety property): same oracle
+    sql["scatter_gather_topk"] = _bm25_sql(k=10)
     sql["bm25_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
     sql["wand_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
     sql["bm25_topk_auto"] = _bm25_sql(k=10)
@@ -5728,6 +5731,17 @@ def q_bloom_prune(spark, sf_dir):
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
 
 
+def q_scatter_gather_topk(spark, sf_dir):
+    """Scatter-gather serving (operators/shards.py): per-shard BM25
+    top-k under GLOBAL df/avgdl, merged and re-cut — identical to the
+    monolithic ranking by the distributed-serving safety property,
+    which is exactly what this oracle (same SQL as bm25_topk) pins."""
+    from .operators.shards import scatter_gather_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    return scatter_gather_topk(tc, ds, ts, query_terms_df(spark, QUERY_SET),
+                               n_docs, avgdl, n_shards=8, k=10)
+
+
 def q_taat_bounded_topk(spark, sf_dir):
     """Accumulator-bounded TAAT (Moffat–Zobel 'continue',
     operators/query.py::taat_bounded_topk, budget 120): new
@@ -5973,6 +5987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune": q_bloom_prune,
     "bm25_topk_ef": q_bm25_topk_ef,
     "taat_bounded_topk": q_taat_bounded_topk,
+    "scatter_gather_topk": q_scatter_gather_topk,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,

@@ -86,3 +86,47 @@ def cori_select(term_shard: DataFrame, shard_size: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= top_m)
             .select("qid", "shard_id", "rank", "score"))
+
+
+def scatter_gather_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                        qterms: DataFrame, n_docs: int, avgdl: float,
+                        n_shards: int = 8, k: int = 10) -> DataFrame:
+    """Scatter-gather serving: per-shard BM25 top-k with GLOBAL
+    statistics, merged and re-cut to k — and by the standard safety
+    property (every shard returns its full local top-k, scores use
+    corpus-global df/avgdl) the result is IDENTICAL to the monolithic
+    ranking, which is exactly what the oracle gate pins.
+
+    This is the gather half of distributed serving (cori_select is the
+    scatter half that prunes which shards to ask). The per-shard top-k
+    is one window partitioned by (qid, shard) — parallelism grows with
+    shard count; the merge re-ranks only shards × k rows per query.
+
+    The global-stats subtlety is the point: shard-LOCAL df would skew
+    idf per shard and break the identity; the broadcast term dict
+    carries the global df to every shard, the same way a real
+    deployment ships the global dictionary with each index shard.
+    """
+    from .query import _bm25_idf, _topk
+
+    qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
+    hits = (tc.join(qdict, "term", "inner")
+            .join(ds.select("doc_id", "dl"), "doc_id"))
+    from ..conf import BM25_B, BM25_K1
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)
+    sat = tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * dl_norm)
+    partial = (F.col("qtf")
+               * _bm25_idf(F.col("df").cast("double"), n_docs) * sat)
+    scored = (hits.select(
+                  "qid", "doc_id",
+                  (F.col("doc_id") % n_shards).cast("int").alias("shard_id"),
+                  partial.alias("partial"))
+              .groupBy("qid", "shard_id", "doc_id")
+              .agg(F.round(F.sum("partial"), 6).alias("score")))
+    w_local = Window.partitionBy("qid", "shard_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    local_topk = (scored.withColumn("lrk", F.row_number().over(w_local))
+                  .where(F.col("lrk") <= k)
+                  .select("qid", "doc_id", "score"))
+    return _topk(local_topk, k)

@@ -148,3 +148,22 @@ def test_cori_output_shape(spark):
     for qid in ("q1", "q2"):
         ranks = sorted(r.rank for r in rows_out if r.qid == qid)
         assert ranks == [1, 2, 3, 4]
+
+
+def test_scatter_gather_identity(spark):
+    # global-stats scatter-gather must equal monolithic BM25 exactly
+    # (the distributed-serving safety property), including when one
+    # shard holds more than k hits and truncates locally.
+    from search_engine_spark.operators.query import bm25_topk, query_terms_df
+    from search_engine_spark.operators.shards import scatter_gather_topk
+    rows = [(i, f"shared tok{i % 7} extra{i % 3}") for i in range(40)]
+    tc = term_counts_sql(_docs(spark, rows))
+    ds = doc_stats(tc)
+    from search_engine_spark.operators.index_build import term_stats
+    ts = term_stats(tc)
+    avgdl = ds.agg({"dl": "avg"}).collect()[0][0]
+    q = query_terms_df(spark, [("q1", "shared tok1"), ("q2", "extra2")])
+    sg = scatter_gather_topk(tc, ds, ts, q, 40, avgdl, n_shards=4, k=5)
+    mono = bm25_topk(tc, ds, ts, q, 40, avgdl, k=5)
+    assert [tuple(r) for r in sg.orderBy("qid", "rank").collect()] == \
+           [tuple(r) for r in mono.orderBy("qid", "rank").collect()]
