@@ -2540,6 +2540,19 @@ FROM tc"""
     # scatter-gather with global stats is rank-identical to monolithic
     # serving (distributed-serving safety property): same oracle
     sql["scatter_gather_topk"] = _bm25_sql(k=10)
+
+    # doc-id reassignment: new_id = dense 0-based rank by the locality
+    # key (text prefix, doc_id tiebreak); postings re-keyed
+    sql["reassigned_postings"] = f"""
+WITH {TOK_CTE},
+rmp AS (SELECT doc_id,
+               (row_number() OVER (ORDER BY substr(lower(text), 1, 16),
+                                   doc_id) - 1)::BIGINT AS new_id
+        FROM documents)
+SELECT t.term,
+       (row_number() OVER (PARTITION BY t.term ORDER BY rmp.new_id))::INT AS pos,
+       rmp.new_id AS doc_id, t.tf
+FROM tc t JOIN rmp USING (doc_id)"""
     sql["bm25_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
     sql["wand_topk_trec"] = _bm25_sql(k=TOP_K_TREC)
     sql["bm25_topk_auto"] = _bm25_sql(k=10)
@@ -5731,6 +5744,25 @@ def q_bloom_prune(spark, sf_dir):
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
 
 
+def q_reassigned_postings(spark, sf_dir):
+    """Doc-id reassignment for compression (operators/reassign.py):
+    ids re-ranked by a locality key (16-char text prefix, doc_id
+    tiebreak — the URL-sort analogue for transcripts), postings
+    re-keyed. One range shuffle (mint machinery, constant per-task
+    work), one build-time equi-join. The gate value-checks the full
+    reassigned posting relation against the oracle's global rank."""
+    from pyspark.sql.window import Window as W
+    from .operators.reassign import reassign_doc_ids, rekey_postings
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select("doc_id",
+                        F.substring(F.lower("text"), 1, 16).alias("_k"))
+    mapping = reassign_doc_ids(keyed, ["_k", "doc_id"])
+    re = rekey_postings(_tc(spark, sf_dir), mapping)
+    w = W.partitionBy("term").orderBy("doc_id")
+    return (re.withColumn("pos", F.row_number().over(w).cast("int"))
+            .select("term", "pos", "doc_id", "tf"))
+
+
 def q_scatter_gather_topk(spark, sf_dir):
     """Scatter-gather serving (operators/shards.py): per-shard BM25
     top-k under GLOBAL df/avgdl, merged and re-cut — identical to the
@@ -5988,6 +6020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_ef": q_bm25_topk_ef,
     "taat_bounded_topk": q_taat_bounded_topk,
     "scatter_gather_topk": q_scatter_gather_topk,
+    "reassigned_postings": q_reassigned_postings,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,
