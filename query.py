@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--topics", help="TSV file of qid<TAB>title")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode",
-                    choices=("auto", "taat", "wand", "maxscore", "phrase",
+                    choices=("auto", "taat", "taat-bounded", "wand",
+                             "maxscore", "phrase",
                              "near", "lm", "prefix", "suffix", "fuzzy",
                              "suggest", "mlt"),
                     default="wand",
@@ -46,6 +47,13 @@ def main() -> None:
                          "fuzzy = decay-weighted edit-distance expansion; "
                          "suggest = did-you-mean per query term; mlt = "
                          "more-like-this (each title token is a seed doc_id)")
+    ap.add_argument("--acc-budget", type=int, default=200,
+                    help="taat-bounded mode: cumulative-df accumulator "
+                         "budget (Moffat-Zobel continue strategy)")
+    ap.add_argument("--route", type=int, default=0, metavar="M",
+                    help="also print CORI shard routing: top-M of "
+                         "--route-shards shards per query (ROUTE lines)")
+    ap.add_argument("--route-shards", type=int, default=8)
     ap.add_argument("--near-window", type=int, default=None,
                     help="NEAR window in tokens (default conf.NEAR_WINDOW)")
     ap.add_argument("--trec-out", help="write TREC run lines here")
@@ -165,6 +173,11 @@ def main() -> None:
             print(f"{r.seed_id}\t{r.doc_id}\t{r.rank}\t{r.score}")
         spark.stop()
         return
+    elif args.mode == "taat-bounded":
+        from search_engine_spark.operators.query import taat_bounded_topk
+        res = taat_bounded_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
+                                qterms, ix.n_docs, ix.avgdl,
+                                acc_budget=args.acc_budget, k=k_eff)
     elif args.mode == "auto" and ix.inline_dl:
         from search_engine_spark.operators.wand import topk_auto
         res = topk_auto(blocked, qterms, ix.n_docs, ix.avgdl, k=args.k,
@@ -187,6 +200,15 @@ def main() -> None:
                            ix.positional_pruned(qterms), qterms,
                            k=args.k, window=args.rescore)
         res = res.drop("base_score")
+    if args.route:
+        from search_engine_spark.operators.shards import (cori_select,
+                                                          shard_stats)
+        tsh, ssz = shard_stats(ix.term_counts, ix.doc_stats,
+                               n_shards=args.route_shards)
+        sel = cori_select(tsh, ssz, qterms, n_shards=args.route_shards,
+                          top_m=args.route)
+        for r in sel.orderBy("qid", "rank").collect():
+            print(f"ROUTE\t{r.qid}\t{r.shard_id}\t{r.rank}\t{r.score}")
     if args.significant:
         from search_engine_spark.operators.facets import significant_terms
         sig = significant_terms(ix.term_counts, ix.term_stats, qterms,

@@ -145,3 +145,19 @@ def test_cli_suffix_mode(built_index):
     assert 1 <= len(rows) <= 5
     assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
     assert all(float(r[3]) > 0 for r in rows)
+
+
+def test_cli_taat_bounded_and_route(built_index):
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "taat-bounded", "--acc-budget", "50",
+                "--route", "2", "--route-shards", "4",
+                "--query", "a se", "--k", "5"])
+    lines = got.strip().splitlines()
+    route = [ln.split("\t") for ln in lines if ln.startswith("ROUTE\t")]
+    hits = [ln.split("\t") for ln in lines
+            if "\t" in ln and not ln.startswith(("ROUTE", "SIGTERM",
+                                                 "COUNT", "EXPLAIN"))]
+    assert len(route) == 2  # top-2 shards for the one query
+    assert [int(r[3]) for r in route] == [1, 2]
+    assert 1 <= len(hits) <= 5
+    assert [int(r[2]) for r in hits] == list(range(1, len(hits) + 1))
