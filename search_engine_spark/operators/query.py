@@ -138,11 +138,26 @@ def taat_bounded_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                                    Window.currentRow))))
     admit_terms = ranked.where((F.col("trk") == 1)
                                | (F.col("cumdf") <= acc_budget))
+    # the admitted set is bounded by ~cumdf ≤ budget (+ the rarest
+    # term's df) rows per query — broadcastable BY CONSTRUCTION, so
+    # the admission filter runs map-side on the hit stream BEFORE the
+    # score shuffle; only ~budget accumulators per query ever shuffle
     admitted = (tc.join(F.broadcast(admit_terms.select("qid", "term")),
                         "term", "inner")
                 .select("qid", "doc_id").distinct())
-    scored = bm25_scores(tc, ds, tstats, qterms, n_docs, avgdl, k1=k1, b=b)
-    return _topk(scored.join(admitted, ["qid", "doc_id"], "leftsemi"), k)
+    qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
+    hits = (tc.join(qdict, "term", "inner")
+            .join(F.broadcast(admitted), ["qid", "doc_id"], "leftsemi")
+            .join(ds.select("doc_id", "dl"), "doc_id"))
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    sat = tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    partial = (F.col("qtf")
+               * _bm25_idf(F.col("df").cast("double"), n_docs) * sat)
+    scored = (hits.select("qid", "doc_id", partial.alias("partial"))
+              .groupBy("qid", "doc_id")
+              .agg(F.sum("partial").alias("score")))
+    return _topk(scored, k)
 
 
 def bm25plus_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
