@@ -2541,6 +2541,33 @@ FROM tc"""
     # serving (distributed-serving safety property): same oracle
     sql["scatter_gather_topk"] = _bm25_sql(k=10)
 
+    sql["corpus_diff"] = """
+WITH oldc AS (SELECT doc_id, md5(text) AS oh FROM documents),
+newc AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' edited'
+                  ELSE text END) AS nh
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 17 = 0
+),
+dj AS (SELECT doc_id, oh, nh FROM oldc FULL OUTER JOIN newc USING (doc_id))
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh <> nh THEN 'changed' END AS change
+FROM dj
+WHERE oh IS NULL OR nh IS NULL OR oh <> nh"""
+
+    sql["index_checksums"] = f"""
+WITH {TOK_CTE},
+ich AS (SELECT (('0x' || substr(md5(term), 1, 15))::BIGINT % 16)::INT AS bucket,
+               ('0x' || substr(md5(term || ':' || doc_id::VARCHAR || ':' || tf::VARCHAR),
+                               1, 15))::BIGINT AS h
+        FROM tc)
+SELECT bucket, count(*)::BIGINT AS n_postings, bit_xor(h)::BIGINT AS checksum
+FROM ich GROUP BY bucket"""
+
     # doc-id reassignment: new_id = dense 0-based rank by the locality
     # key (text prefix, doc_id tiebreak); postings re-keyed
     sql["reassigned_postings"] = f"""
@@ -5744,6 +5771,35 @@ def q_bloom_prune(spark, sf_dir):
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff (operators/corpusops.py::corpus_diff) between the
+    corpus and a deterministically-derived second snapshot (doc_id%13
+    removed, %11 text-edited, %17 cloned to doc_id+100000 as added) —
+    the added/removed/changed partition the delta/tombstone serving
+    path consumes. Text never shuffles: both sides reduce to
+    (doc_id, md5) first."""
+    from .operators.corpusops import corpus_diff
+    d = _docs(spark, sf_dir)
+    new = (d.where(F.col("doc_id") % 13 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 11 == 0,
+                          F.concat(F.col("text"), F.lit(" edited")))
+                   .otherwise(F.col("text")).alias("text")))
+    added = (d.where(F.col("doc_id") % 17 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return corpus_diff(d, new.unionByName(added))
+
+
+def q_index_checksums(spark, sf_dir):
+    """Per-bucket index content checksums (operators/corpusops.py::
+    index_checksums): XOR of md5-60-bit posting-triple hashes —
+    commutative, constant aggregate state, map-side combinable — so
+    replica / pre-vs-post-migration verification is an O(buckets)
+    broadcast compare, never a posting re-scan."""
+    from .operators.corpusops import index_checksums
+    return index_checksums(_tc(spark, sf_dir), n_buckets=16)
+
+
 def q_reassigned_postings(spark, sf_dir):
     """Doc-id reassignment for compression (operators/reassign.py):
     ids re-ranked by a locality key (16-char text prefix, doc_id
@@ -6021,6 +6077,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "taat_bounded_topk": q_taat_bounded_topk,
     "scatter_gather_topk": q_scatter_gather_topk,
     "reassigned_postings": q_reassigned_postings,
+    "corpus_diff": q_corpus_diff,
+    "index_checksums": q_index_checksums,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,
