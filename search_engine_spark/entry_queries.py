@@ -2541,6 +2541,89 @@ FROM tc"""
     # serving (distributed-serving safety property): same oracle
     sql["scatter_gather_topk"] = _bm25_sql(k=10)
 
+    # exact paired sign-flip permutation test, BM25 vs LM-Dirichlet
+    # per-query AP: flip-mean comparison rounds both sides to 9dp (the
+    # cross-engine summation-order guard documented in evaluation.py)
+    sql["run_sigtest"] = f"""
+WITH {_bm25_ctes()},
+cs AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+sqd AS (SELECT q.qid, q.term, q.qtf, ts.cf FROM q JOIN ts USING (term)),
+sql_ AS (SELECT qid, sum(qtf)::DOUBLE AS qlen FROM sqd GROUP BY qid),
+slmh AS (SELECT sqd.qid, tc.doc_id,
+                sqd.qtf * ln(1.0 + tc.tf::DOUBLE * (SELECT c FROM cs)
+                             / ({LM_MU!r} * sqd.cf::DOUBLE)) AS partial
+         FROM sqd JOIN tc USING (term)),
+slmm AS (SELECT qid, doc_id, sum(partial) AS s FROM slmh GROUP BY 1, 2),
+slms AS (SELECT slmm.qid, slmm.doc_id,
+                round(slmm.s + sql_.qlen * ln({LM_MU!r} / (ds.dl::DOUBLE + {LM_MU!r})), 6) AS score
+         FROM slmm JOIN ds USING (doc_id) JOIN sql_ USING (qid)),
+slmr AS (SELECT qid, doc_id,
+                (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+         FROM slms),
+qrels AS (SELECT qq.qid, d.doc_id
+          FROM (SELECT DISTINCT qid FROM q) qq, documents d
+          WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1),
+ra AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+rb AS (SELECT qid, doc_id, rank FROM slmr WHERE rank <= 10),
+ha AS (SELECT r.qid, r.rank,
+              CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       FROM ra r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id),
+ca AS (SELECT qid, rank, rel,
+              sum(rel) OVER (PARTITION BY qid ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum
+       FROM ha),
+pa AS (SELECT qid, sum(CASE WHEN rel = 1 THEN cum::DOUBLE / rank ELSE 0 END) AS sp
+       FROM ca GROUP BY 1),
+apa AS (SELECT nrel.qid, round(coalesce(pa.sp, 0) / nrel.n_rel, 6) AS ap
+        FROM nrel LEFT JOIN pa USING (qid)),
+hb AS (SELECT r.qid, r.rank,
+              CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       FROM rb r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id),
+cb AS (SELECT qid, rank, rel,
+              sum(rel) OVER (PARTITION BY qid ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum
+       FROM hb),
+pb AS (SELECT qid, sum(CASE WHEN rel = 1 THEN cum::DOUBLE / rank ELSE 0 END) AS sp
+       FROM cb GROUP BY 1),
+apb AS (SELECT nrel.qid, round(coalesce(pb.sp, 0) / nrel.n_rel, 6) AS ap
+        FROM nrel LEFT JOIN pb USING (qid)),
+dif AS (SELECT apa.qid, apa.ap - apb.ap AS d,
+               (row_number() OVER (ORDER BY apa.qid) - 1)::INT AS idx
+        FROM apa JOIN apb USING (qid)),
+st AS (SELECT count(*)::INT AS n, sum(d) AS sd, sum(d*d) AS sd2 FROM dif),
+ob AS (SELECT n, sd / n AS mean_d,
+              CASE WHEN (sd2 - sd*sd/n) / (CASE WHEN n > 1 THEN n - 1 ELSE 1 END) > 0
+                   THEN (sd / n) / sqrt(((sd2 - sd*sd/n)
+                        / (CASE WHEN n > 1 THEN n - 1 ELSE 1 END)) / n)
+                   ELSE 0.0 END AS t
+       FROM st),
+pat AS (SELECT i AS p
+        FROM unnest(generate_series(0, (SELECT (1::BIGINT << n) - 1 FROM st))) t(i)),
+fl AS (SELECT pat.p,
+              sum(CASE WHEN (pat.p >> dif.idx) & 1 = 1 THEN -dif.d ELSE dif.d END)
+                / (SELECT n FROM st) AS mf
+       FROM pat CROSS JOIN dif GROUP BY pat.p),
+pv AS (SELECT count(*)::DOUBLE / (SELECT (1::BIGINT << n) FROM st) AS p
+       FROM fl
+       WHERE round(abs(mf), 9) >= round(abs((SELECT mean_d FROM ob)), 9))
+SELECT (SELECT n FROM st)::BIGINT AS n_queries,
+       round((SELECT mean_d FROM ob), 6) AS mean_diff,
+       round((SELECT t FROM ob), 6) AS t_stat,
+       round((SELECT p FROM pv), 6) AS p_value"""
+
+    # bottom-k quantile sketch: type-1 quantiles off the 64 smallest
+    # md5-keyed docs — all-integer, no rounding convention needed
+    sql["quantile_sketch"] = f"""
+WITH {TOK_CTE},
+bk AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+              dl::BIGINT AS v
+       FROM ds ORDER BY h LIMIT 64),
+sq AS (SELECT count(*)::BIGINT AS n_sample, list_sort(list(v)) AS l FROM bk)
+SELECT n_sample,
+       l[(floor(0.5  * (n_sample - 1)))::INT + 1]::BIGINT AS q50,
+       l[(floor(0.9  * (n_sample - 1)))::INT + 1]::BIGINT AS q90,
+       l[(floor(0.99 * (n_sample - 1)))::INT + 1]::BIGINT AS q99
+FROM sq"""
+
     sql["corpus_diff"] = """
 WITH oldc AS (SELECT doc_id, md5(text) AS oh FROM documents),
 newc AS (
@@ -5771,6 +5854,35 @@ def q_bloom_prune(spark, sf_dir):
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
 
 
+def q_run_sigtest(spark, sf_dir):
+    """Exact paired sign-flip permutation test between the BM25 and
+    LM-Dirichlet runs' per-query AP (functions/evaluation.py::
+    paired_sign_test) — all 2^n sign patterns enumerated, no RNG, so
+    the p-value is exact and oracle-reproducible. The missing half of
+    evaluation tooling next to map_eval: 'is run A better than run B'
+    with a significance level, not just a mean."""
+    from .functions.evaluation import paired_sign_test, per_query_ap
+    qrels = _qrels(spark, sf_dir)
+    ap_a = per_query_ap(q_bm25_topk(spark, sf_dir), qrels, depth=10) \
+        .select("qid", "ap")
+    ap_b = per_query_ap(q_lm_topk(spark, sf_dir), qrels, depth=10) \
+        .select("qid", "ap")
+    return paired_sign_test(ap_a, ap_b)
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch over doc lengths
+    (operators/sketches.py::bottomk_sample/sketch_quantiles): the k=64
+    smallest md5-keyed docs form a deterministic uniform sample with
+    constant mergeable state (bottom-k(A∪B) = bottom-k of the unioned
+    sketches); type-1 quantiles read off it are exact integer
+    arithmetic. Completes the mergeable-sketch family next to
+    HLL/CMS/Bloom; the exact twin is dl_percentiles."""
+    from .operators.sketches import bottomk_sample, sketch_quantiles
+    _tc_, ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    return sketch_quantiles(bottomk_sample(ds, "dl", "doc_id", k=64))
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff (operators/corpusops.py::corpus_diff) between the
     corpus and a deterministically-derived second snapshot (doc_id%13
@@ -6079,6 +6191,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reassigned_postings": q_reassigned_postings,
     "corpus_diff": q_corpus_diff,
     "index_checksums": q_index_checksums,
+    "run_sigtest": q_run_sigtest,
+    "quantile_sketch": q_quantile_sketch,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,

@@ -222,3 +222,56 @@ def rbo_weights(depth: int, p: float) -> dict[int, float]:
             acc += p ** (d - 1) / d
         out[m] = acc
     return out
+
+
+def paired_sign_test(ap_a: DataFrame, ap_b: DataFrame) -> DataFrame:
+    """One row (n_queries, mean_diff, t_stat, p_value) — EXACT paired
+    sign-flip permutation test between two runs' per-query AP columns
+    (permutation tests are the recommended significance machinery for
+    IR evaluation: Smucker, Allan & Carterette, CIKM 2007).
+
+    All 2^n sign patterns are enumerated — no RNG anywhere, so the
+    p-value is exact and bit-reproducible in the DuckDB oracle. The
+    2^n · n sign table is built driver-side: n is the EVALUATION query
+    set size (bounded by construction; 8 here → 2048 rows). Beyond
+    ~20 queries the standard extension is Monte-Carlo pattern
+    sampling — out of scope for the bounded driver query set.
+
+    The flip-mean comparison rounds both sides to 9dp: per-pattern
+    sums of the same 6dp-grid differences can differ across engines in
+    the last ulp (summation order), while genuinely distinct means on
+    that grid are ≥ ~6e-8 apart — 9dp separates the two regimes.
+    t_stat is the paired t statistic (0 when the variance is 0),
+    provided for reference alongside the exact p.
+    """
+    d = (ap_a.select("qid", F.col("ap").alias("_a"))
+         .join(ap_b.select("qid", F.col("ap").alias("_b")), "qid")
+         .select("qid", (F.col("_a") - F.col("_b")).alias("d")))
+    w = Window.orderBy("qid")
+    rows = d.withColumn("idx", F.row_number().over(w) - 1).collect()
+    n = len(rows)
+    spark = ap_a.sparkSession
+    dd = spark.createDataFrame([(r.d, r.idx) for r in rows],
+                               "d double, idx int")
+    signs = spark.createDataFrame(
+        [(p, i, -1 if (p >> i) & 1 else 1)
+         for p in range(1 << n) for i in range(n)],
+        "p long, idx int, sign int")
+    flips = (signs.join(F.broadcast(dd), "idx")
+             .groupBy("p")
+             .agg((F.sum(F.col("sign") * F.col("d")) / n).alias("mf")))
+    agg = dd.agg(F.sum("d").alias("sd"), F.sum(F.col("d") * F.col("d"))
+                 .alias("sd2"))
+    mean_d = F.col("sd") / n
+    var = (F.col("sd2") - F.col("sd") * F.col("sd") / n) / max(n - 1, 1)
+    t = F.when(var > 0, mean_d / F.sqrt(var / n)).otherwise(F.lit(0.0))
+    obs = agg.select(mean_d.alias("mean_d"), t.alias("t"))
+    hits = (flips.crossJoin(F.broadcast(obs))
+            .where(F.round(F.abs(F.col("mf")), 9)
+                   >= F.round(F.abs(F.col("mean_d")), 9))
+            .agg(F.count("*").alias("nh")))
+    return (hits.crossJoin(F.broadcast(obs)).select(
+        F.lit(n).cast("long").alias("n_queries"),
+        F.round("mean_d", 6).alias("mean_diff"),
+        F.round("t", 6).alias("t_stat"),
+        F.round(F.col("nh").cast("double") / (1 << n), 6).alias("p_value")))

@@ -197,3 +197,41 @@ def bloom_filter_keys(big: DataFrame, positions: DataFrame,
     hits = (probe.join(F.broadcast(positions), "pos")
             .groupBy(key_col).agg(F.count("*").alias("_nset")))
     return hits.where(F.col("_nset") == k).select(key_col)
+
+
+def bottomk_sample(values: DataFrame, value_col: str = "dl",
+                   key_col: str = "doc_id", k: int = 64) -> DataFrame:
+    """(h, v) — the k rows with the SMALLEST md5-60-bit hash of the
+    key: a deterministic uniform corpus sample with constant-size,
+    MERGEABLE state (the bottom-k sketch, Cohen & Kaplan 2007):
+
+        bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+
+    so per-shard samples union and re-truncate without re-scanning —
+    the property reservoir sampling lacks (its state depends on a
+    sequential pass). orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k merged on the driver — distributed at any
+    corpus size, never a global sort)."""
+    return (values.select(
+                h60(F.col(key_col).cast("string")).alias("h"),
+                F.col(value_col).cast("long").alias("v"))
+            .orderBy("h").limit(k))
+
+
+def sketch_quantiles(sample: DataFrame,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """One row (n_sample, q50, q90, q99, ...) — type-1 (lower-value)
+    quantiles read off the sorted bottom-k sample. Type-1 returns an
+    ACTUAL data value (no interpolation), so the estimate is exact
+    integer arithmetic — bit-identical across engines with no rounding
+    convention needed. Error vs the exact corpus quantile is the
+    standard sampling error of a k-uniform sample (tested, not
+    claimed)."""
+    arr = F.array_sort(F.collect_list("v"))  # bounded: ≤ k values
+    agg = sample.agg(F.count("*").cast("long").alias("n_sample"),
+                     arr.alias("_l"))
+    cols = [F.col("n_sample")]
+    for q in qs:
+        idx = F.floor(F.lit(q) * (F.col("n_sample") - 1)).cast("int") + 1
+        cols.append(F.element_at("_l", idx).alias(f"q{int(q * 100)}"))
+    return agg.select(*cols)

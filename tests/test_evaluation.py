@@ -183,3 +183,39 @@ def test_rbo_weights_telescope():
     assert w[10] == pytest.approx(0.5 ** 9 / 10, abs=1e-15)
     acc = sum(0.5 ** (d - 1) / d for d in range(1, 11))
     assert w[1] == pytest.approx(acc, abs=1e-12)
+
+
+# ------------------------------------------------- paired permutation test
+
+def _ap_df(spark, pairs):
+    return spark.createDataFrame(pairs, "qid string, ap double")
+
+
+def test_sign_test_consistent_wins(spark):
+    from search_engine_spark.functions.evaluation import paired_sign_test
+    # A beats B on all 3 queries (unequal margins): only the identity
+    # and the all-flipped pattern reach |mean|, p = 2/8
+    a = _ap_df(spark, [("q1", 0.5), ("q2", 0.62), ("q3", 0.68)])
+    b = _ap_df(spark, [("q1", 0.4), ("q2", 0.5), ("q3", 0.6)])
+    r = paired_sign_test(a, b).collect()[0]
+    assert r.n_queries == 3
+    assert abs(r.mean_diff - 0.1) < 1e-9
+    assert r.p_value == 0.25
+    assert r.t_stat > 0  # variance > 0 here (margins differ)
+
+
+def test_sign_test_zero_mean(spark):
+    from search_engine_spark.functions.evaluation import paired_sign_test
+    # differences cancel: every flip pattern's |mean| >= 0 = |mean_obs|
+    a = _ap_df(spark, [("q1", 0.5), ("q2", 0.4)])
+    b = _ap_df(spark, [("q1", 0.4), ("q2", 0.5)])
+    r = paired_sign_test(a, b).collect()[0]
+    assert abs(r.mean_diff) < 1e-9
+    assert r.p_value == 1.0
+
+
+def test_sign_test_identical_runs(spark):
+    from search_engine_spark.functions.evaluation import paired_sign_test
+    a = _ap_df(spark, [("q1", 0.5), ("q2", 0.4), ("q3", 0.3)])
+    r = paired_sign_test(a, a).collect()[0]
+    assert r.mean_diff == 0.0 and r.t_stat == 0.0 and r.p_value == 1.0

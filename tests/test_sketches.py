@@ -123,3 +123,42 @@ def test_bloom_no_false_negatives_and_prunes(spark):
            if all(_h60(f"b{j}:{t}") % BLOOM_BITS in bits
                   for j in range(BLOOM_K))}
     assert passed == exp
+
+
+# ---------------------------------------------------------- bottom-k sketch
+
+def test_bottomk_merge_property(spark):
+    from search_engine_spark.operators.sketches import bottomk_sample
+    rows = [(i, 10 + i % 50) for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id long, dl long")
+    a = d.where("doc_id < 250")
+    b = d.where("doc_id >= 250")
+    whole = {(r.h, r.v) for r in bottomk_sample(d, k=32).collect()}
+    merged_in = bottomk_sample(a, k=32).unionByName(bottomk_sample(b, k=32))
+    merged = {(r.h, r.v)
+              for r in merged_in.orderBy("h").limit(32).collect()}
+    assert merged == whole  # bottom-k(A∪B) == bottom-k of unioned sketches
+
+
+def test_bottomk_quantiles_track_exact(spark):
+    import numpy as np
+    from search_engine_spark.operators.sketches import (bottomk_sample,
+                                                        sketch_quantiles)
+    # skewed lengths; the k=256 sample's type-1 quantiles must land
+    # within a few percentiles of the exact ones
+    vals = [(i, int(10 + (i * 37 % 997))) for i in range(5000)]
+    d = spark.createDataFrame(vals, "doc_id long, dl long")
+    row = sketch_quantiles(bottomk_sample(d, k=256)).collect()[0]
+    exact = np.quantile([v for _, v in vals], [0.5, 0.9], method="lower")
+    assert row.n_sample == 256
+    assert abs(row.q50 - exact[0]) <= 0.1 * (exact[0] + 1)
+    assert abs(row.q90 - exact[1]) <= 0.1 * (exact[1] + 1)
+
+
+def test_bottomk_smaller_corpus_than_k(spark):
+    from search_engine_spark.operators.sketches import (bottomk_sample,
+                                                        sketch_quantiles)
+    d = spark.createDataFrame([(1, 5), (2, 7), (3, 9)], "doc_id long, dl long")
+    row = sketch_quantiles(bottomk_sample(d, k=64)).collect()[0]
+    assert row.n_sample == 3
+    assert row.q50 in (5, 7, 9)
