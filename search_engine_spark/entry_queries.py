@@ -5518,20 +5518,19 @@ FROM za"""
 
     # CORI resource selection (operators/shards.py), 8 shards by
     # doc_id % 8, top-4 shards per query; absent (term, shard) pairs
-    # contribute the 0.4 belief floor via the LEFT JOIN grid.
-    sql["shard_select"] = f"""
-WITH {TOK_CTE},
+    # contribute the 0.4 belief floor via the LEFT JOIN grid. The CTE
+    # chain (assumes q and tc/ds in scope) is shared with the
+    # routed-serving gates below.
+    _cori_ctes = """
 tsh AS (SELECT (doc_id % 8)::INT AS shard_id, term, count(*)::BIGINT AS df_s
         FROM tc GROUP BY 1, 2),
 ssz AS (SELECT (doc_id % 8)::INT AS shard_id, sum(dl)::BIGINT AS cw_s
         FROM ds GROUP BY 1),
 acw AS (SELECT avg(cw_s) AS a FROM ssz),
 sfr AS (SELECT term, count(*)::BIGINT AS sf_t FROM tsh GROUP BY term),
-q(qid, term, qtf) AS (VALUES
-        {_qterms_values()}),
 grid AS (
   SELECT q.qid, q.qtf, s.shard_id, s.cw_s, t.df_s, f.sf_t
-  FROM q CROSS JOIN ssz s
+  FROM (SELECT DISTINCT qid, term, qtf FROM q) q CROSS JOIN ssz s
   LEFT JOIN tsh t ON t.shard_id = s.shard_id AND t.term = q.term
   LEFT JOIN sfr f ON f.term = q.term),
 bel AS (
@@ -5544,8 +5543,51 @@ bel AS (
 scs AS (SELECT qid, shard_id, round(sum(b), 6) AS score FROM bel GROUP BY 1, 2),
 srk AS (SELECT qid, shard_id, score,
                (row_number() OVER (PARTITION BY qid ORDER BY score DESC, shard_id))::INT AS rank
-        FROM scs)
+        FROM scs)"""
+
+    sql["shard_select"] = f"""
+WITH {TOK_CTE},
+q(qid, term, qtf) AS (VALUES
+        {_qterms_values()}),
+{_cori_ctes.lstrip()}
 SELECT qid, shard_id, rank, score FROM srk WHERE rank <= 4"""
+
+    # route-then-score: only the CORI top-4 shards' docs are scored
+    sql["routed_topk"] = f"""
+WITH {_bm25_ctes()},
+{_cori_ctes.lstrip()},
+routes AS (SELECT qid, shard_id FROM srk WHERE rank <= 4),
+rsc AS (SELECT s.qid, s.doc_id, s.score
+        FROM scored s JOIN routes r
+          ON r.qid = s.qid AND r.shard_id = (s.doc_id % 8)),
+rrk AS (SELECT qid, doc_id, score,
+               (row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id))::INT AS rank
+        FROM rsc)
+SELECT qid, doc_id, rank, score FROM rrk WHERE rank <= 10"""
+
+    # overlap@10 of routed vs full — the fan-out-vs-quality dial
+    sql["routing_recall"] = f"""
+WITH {_bm25_ctes()},
+{_cori_ctes.lstrip()},
+routes AS (SELECT qid, shard_id FROM srk WHERE rank <= 4),
+rsc AS (SELECT s.qid, s.doc_id, s.score
+        FROM scored s JOIN routes r
+          ON r.qid = s.qid AND r.shard_id = (s.doc_id % 8)),
+rrk AS (SELECT qid, doc_id,
+               (row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id))::INT AS rank
+        FROM rsc),
+rt AS (SELECT qid, doc_id FROM rrk WHERE rank <= 10),
+ft AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+ov AS (SELECT rt.qid, count(*)::BIGINT AS n_overlap
+       FROM rt JOIN ft USING (qid, doc_id) GROUP BY 1),
+nr AS (SELECT qid, count(*)::BIGINT AS n_routed FROM rt GROUP BY 1),
+nf AS (SELECT qid, count(*)::BIGINT AS n_full FROM ft GROUP BY 1)
+SELECT nf.qid, coalesce(nr.n_routed, 0)::BIGINT AS n_routed,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       round(coalesce(ov.n_overlap, 0) / nf.n_full, 6) AS recall_at_k
+FROM nf LEFT JOIN nr USING (qid) LEFT JOIN ov USING (qid)"""
 
     return sql
 
@@ -5852,6 +5894,31 @@ def q_bloom_prune(spark, sf_dir):
     return (passed.join(F.broadcast(member), "term", "left")
             .select("term",
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
+
+
+def q_routed_topk(spark, sf_dir):
+    """Route-then-score selective search (operators/shards.py::
+    routed_topk): CORI top-4 of 8 shards per query, only their docs
+    scored — the end-to-end route→scatter→gather serving path with
+    query fan-out cut to top_m shards."""
+    from .operators.shards import routed_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    return routed_topk(tc, ds, ts, query_terms_df(spark, QUERY_SET),
+                       n_docs, avgdl, n_shards=8, top_m=4, k=10)
+
+
+def q_routing_recall(spark, sf_dir):
+    """overlap@10 of the routed ranking vs the full ranking
+    (operators/shards.py::routing_recall) — the measured
+    fan-out-vs-quality dial, the sharded twin of pruned_recall and
+    ann_recall."""
+    from .operators.shards import routed_topk, routing_recall
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    routed = routed_topk(tc, ds, ts, q, n_docs, avgdl,
+                         n_shards=8, top_m=4, k=10)
+    full = bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+    return routing_recall(routed, full, k=10)
 
 
 def q_run_sigtest(spark, sf_dir):
@@ -6193,6 +6260,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_checksums": q_index_checksums,
     "run_sigtest": q_run_sigtest,
     "quantile_sketch": q_quantile_sketch,
+    "routed_topk": q_routed_topk,
+    "routing_recall": q_routing_recall,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,

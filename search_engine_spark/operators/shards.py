@@ -130,3 +130,62 @@ def scatter_gather_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                   .where(F.col("lrk") <= k)
                   .select("qid", "doc_id", "score"))
     return _topk(local_topk, k)
+
+
+def routed_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+                qterms: DataFrame, n_docs: int, avgdl: float,
+                n_shards: int = 8, top_m: int = 4,
+                k: int = 10) -> DataFrame:
+    """Route-then-score: CORI-select top_m shards per query, score
+    ONLY those shards' documents (global df/avgdl), top-k. The
+    end-to-end selective-search serving path (route → scatter →
+    gather): query fan-out drops from n_shards to top_m, trading tail
+    recall — measured, not assumed, by routing_recall.
+
+    The (qid, shard_id) routing table is queries × top_m rows —
+    broadcast; the shard filter runs map-side on the hit stream before
+    the score shuffle, exactly like taat_bounded_topk's admission.
+    """
+    from .query import _bm25_idf, _topk
+    from ..conf import BM25_B, BM25_K1
+
+    tsh, ssz = shard_stats(tc, ds, n_shards=n_shards)
+    routes = (cori_select(tsh, ssz, qterms, n_shards=n_shards, top_m=top_m)
+              .select("qid", "shard_id"))
+    qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
+    hits = (tc.withColumn("shard_id",
+                          (F.col("doc_id") % n_shards).cast("int"))
+            .join(qdict, "term", "inner")
+            .join(F.broadcast(routes), ["qid", "shard_id"], "leftsemi")
+            .join(ds.select("doc_id", "dl"), "doc_id"))
+    tf = F.col("tf").cast("double")
+    dl_norm = 1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)
+    sat = tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * dl_norm)
+    partial = (F.col("qtf")
+               * _bm25_idf(F.col("df").cast("double"), n_docs) * sat)
+    scored = (hits.select("qid", "doc_id", partial.alias("partial"))
+              .groupBy("qid", "doc_id")
+              .agg(F.sum("partial").alias("score")))
+    return _topk(scored, k)
+
+
+def routing_recall(routed: DataFrame, full: DataFrame,
+                   k: int = 10) -> DataFrame:
+    """(qid, n_routed, n_overlap, recall_at_k) — overlap@k of the
+    routed ranking against the full (all-shards) ranking: the measured
+    fan-out-vs-quality dial of selective search, the sharded twin of
+    pruned_recall / ann_recall."""
+    r = routed.where(F.col("rank") <= k).select("qid", "doc_id")
+    f = full.where(F.col("rank") <= k).select("qid", "doc_id")
+    ov = (r.join(f, ["qid", "doc_id"], "inner")
+          .groupBy("qid").agg(F.count("*").cast("long").alias("n_overlap")))
+    nr = r.groupBy("qid").agg(F.count("*").cast("long").alias("n_routed"))
+    nf = f.groupBy("qid").agg(F.count("*").cast("long").alias("n_full"))
+    return (nf.join(nr, "qid", "left").join(ov, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_routed", F.lit(0)).cast("long")
+                    .alias("n_routed"),
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                    .alias("n_overlap"),
+                    F.round(F.coalesce("n_overlap", F.lit(0))
+                            / F.col("n_full"), 6).alias("recall_at_k")))

@@ -167,3 +167,31 @@ def test_scatter_gather_identity(spark):
     mono = bm25_topk(tc, ds, ts, q, 40, avgdl, k=5)
     assert [tuple(r) for r in sg.orderBy("qid", "rank").collect()] == \
            [tuple(r) for r in mono.orderBy("qid", "rank").collect()]
+
+
+def test_routed_topk_full_recall_on_concentrated_corpus(spark):
+    # every 'needle' doc lives in shard 3; routing to top-1 shard must
+    # lose nothing for the needle query (recall 1.0), because CORI
+    # sends it to exactly that shard.
+    from search_engine_spark.operators.index_build import term_stats
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.operators.shards import (routed_topk,
+                                                      routing_recall)
+    rows = []
+    for i in range(64):
+        txt = "common filler words here"
+        if i % 8 == 3:
+            txt += " needle"
+        rows.append((i, txt))
+    tc = term_counts_sql(_docs(spark, rows))
+    ds = doc_stats(tc)
+    ts = term_stats(tc)
+    avgdl = ds.agg({"dl": "avg"}).collect()[0][0]
+    q = spark.createDataFrame([("q1", "needle", 1)],
+                              "qid string, term string, qtf int")
+    routed = routed_topk(tc, ds, ts, q, 64, avgdl,
+                         n_shards=8, top_m=1, k=5)
+    full = bm25_topk(tc, ds, ts, q, 64, avgdl, k=5)
+    rec = routing_recall(routed, full, k=5).collect()[0]
+    assert rec.recall_at_k == 1.0
+    assert {r.doc_id % 8 for r in routed.collect()} == {3}
