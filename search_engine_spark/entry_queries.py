@@ -5552,6 +5552,34 @@ q(qid, term, qtf) AS (VALUES
 {_cori_ctes.lstrip()}
 SELECT qid, shard_id, rank, score FROM srk WHERE rank <= 4"""
 
+    # bounded-TAAT vs exhaustive overlap@10 — same admission CTEs as
+    # taat_bounded_topk, same overlap shape as routing_recall
+    sql["taat_recall"] = f"""
+WITH {_bm25_ctes()},
+qr AS (SELECT qid, term, df,
+              row_number() OVER (PARTITION BY qid ORDER BY df, term) AS trk,
+              sum(df) OVER (PARTITION BY qid ORDER BY df, term
+                            ROWS UNBOUNDED PRECEDING) AS cumdf
+       FROM (SELECT q.qid, q.term, ts.df FROM q JOIN ts USING (term))),
+adm AS (SELECT qid, term FROM qr WHERE trk = 1 OR cumdf <= 120),
+adoc AS (SELECT DISTINCT adm.qid, tc.doc_id FROM adm JOIN tc USING (term)),
+tsc AS (SELECT s.qid, s.doc_id, s.score FROM scored s
+        JOIN adoc USING (qid, doc_id)),
+trnk AS (SELECT qid, doc_id,
+                (row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc_id))::INT AS rank
+         FROM tsc),
+bt AS (SELECT qid, doc_id FROM trnk WHERE rank <= 10),
+ft AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+ov AS (SELECT bt.qid, count(*)::BIGINT AS n_overlap
+       FROM bt JOIN ft USING (qid, doc_id) GROUP BY 1),
+nb AS (SELECT qid, count(*)::BIGINT AS n_bounded FROM bt GROUP BY 1),
+nf AS (SELECT qid, count(*)::BIGINT AS n_full FROM ft GROUP BY 1)
+SELECT nf.qid, coalesce(nb.n_bounded, 0)::BIGINT AS n_bounded,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       round(coalesce(ov.n_overlap, 0) / nf.n_full, 6) AS recall_at_k
+FROM nf LEFT JOIN nb USING (qid) LEFT JOIN ov USING (qid)"""
+
     # route-then-score: only the CORI top-4 shards' docs are scored
     sql["routed_topk"] = f"""
 WITH {_bm25_ctes()},
@@ -5894,6 +5922,23 @@ def q_bloom_prune(spark, sf_dir):
     return (passed.join(F.broadcast(member), "term", "left")
             .select("term",
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
+
+
+def q_taat_recall(spark, sf_dir):
+    """overlap@10 of the accumulator-bounded TAAT ranking vs the
+    exhaustive ranking — the measured memory-vs-quality dial for the
+    bounded path (the TAAT twin of routing_recall / pruned_recall /
+    ann_recall: every approximate path in the engine ships with its
+    dial)."""
+    from .operators.query import taat_bounded_topk
+    from .operators.shards import routing_recall
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    q = query_terms_df(spark, QUERY_SET)
+    bounded = taat_bounded_topk(tc, ds, ts, q, n_docs, avgdl,
+                                acc_budget=120, k=10)
+    full = bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+    return routing_recall(bounded, full, k=10) \
+        .withColumnRenamed("n_routed", "n_bounded")
 
 
 def q_routed_topk(spark, sf_dir):
@@ -6262,6 +6307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch": q_quantile_sketch,
     "routed_topk": q_routed_topk,
     "routing_recall": q_routing_recall,
+    "taat_recall": q_taat_recall,
     "winnow_fingerprints": q_winnow_fingerprints,
     "containment_pairs": q_containment_pairs,
     "token_entropy": q_token_entropy,
