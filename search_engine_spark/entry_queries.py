@@ -5552,6 +5552,39 @@ q(qid, term, qtf) AS (VALUES
 {_cori_ctes.lstrip()}
 SELECT qid, shard_id, rank, score FROM srk WHERE rank <= 4"""
 
+    # blocked front coding: rank lexicographic, block = rank div 8,
+    # lcp vs predecessor via a correlated max over matching prefixes
+    sql["front_coded_dict"] = f"""
+WITH {TOK_CTE},
+fcd AS (SELECT term, df, cf,
+               (row_number() OVER (ORDER BY term) - 1)::BIGINT AS rank
+        FROM ts),
+fcb AS (SELECT *, (rank // 8)::BIGINT AS block,
+               lag(term) OVER (PARTITION BY (rank // 8) ORDER BY rank) AS prev
+        FROM fcd),
+fcl AS (SELECT rank, block, df, cf, term,
+               (CASE WHEN prev IS NULL THEN 0
+                     ELSE coalesce((SELECT max(i)
+                            FROM unnest(generate_series(1,
+                                 least(length(term), length(prev)))) t(i)
+                            WHERE substr(term, 1, i) = substr(prev, 1, i)), 0)
+                END)::INT AS lcp
+        FROM fcb)
+SELECT rank, block, lcp, substr(term, lcp + 1) AS suffix, df, cf FROM fcl"""
+
+    # encode → decode must be value-invisible: same oracle as term_stats
+    sql["dict_decoded"] = sql["term_stats"]
+
+    sql["auto_stopwords"] = f"""
+WITH {TOK_CTE},
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+bydf AS (SELECT term, df, cf, 'df_frac' AS reason
+         FROM ts WHERE df > 0.5 * (SELECT n FROM nd)),
+bycf AS (SELECT term, df, cf, 'top_cf' AS reason
+         FROM ts ORDER BY cf DESC, term LIMIT 5),
+uu AS (SELECT * FROM bydf UNION ALL SELECT * FROM bycf)
+SELECT term, df, cf, min(reason) AS reason FROM uu GROUP BY 1, 2, 3"""
+
     # bounded-TAAT vs exhaustive overlap@10 — same admission CTEs as
     # taat_bounded_topk, same overlap shape as routing_recall
     sql["taat_recall"] = f"""
@@ -5922,6 +5955,37 @@ def q_bloom_prune(spark, sf_dir):
     return (passed.join(F.broadcast(member), "term", "left")
             .select("term",
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
+
+
+def q_front_coded_dict(spark, sf_dir):
+    """Blocked front-coded term dictionary (functions/dictionary.py::
+    front_code_terms, block 8): first term per block whole, the rest
+    as (lcp, suffix) against the predecessor — the last plain index
+    structure compressed. Lexicographic rank via the range-shuffle
+    machinery (constant per-task work at any vocab size)."""
+    from .functions.dictionary import front_code_terms
+    _tc_, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    return front_code_terms(ts, block=8)
+
+
+def q_dict_decoded(spark, sf_dir):
+    """Front-coding losslessness through the value gate: encode →
+    per-block decode (functions/dictionary.py::decode_front_coded) →
+    the original (term, df, cf) relation; same oracle as term_stats,
+    mirroring how bm25_topk_ef gates the posting codec."""
+    from .functions.dictionary import decode_front_coded, front_code_terms
+    _tc_, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    return decode_front_coded(front_code_terms(ts, block=8))
+
+
+def q_auto_stopwords(spark, sf_dir):
+    """Corpus-derived stopword candidates (functions/dictionary.py::
+    derive_stopwords, df > 50% of docs ∪ top-5 by cf): the reference
+    ships a fixed stopwords.txt — at 10^12 turns the list must come
+    from corpus stats, one aggregate over the term dictionary."""
+    from .functions.dictionary import derive_stopwords
+    _tc_, _ds, ts, n_docs, _a = _corpus(spark, sf_dir)
+    return derive_stopwords(ts, n_docs, df_frac=0.5, top_cf=5)
 
 
 def q_taat_recall(spark, sf_dir):
@@ -6313,4 +6377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "zipf_slope": q_zipf_slope,
     "shard_select": q_shard_select,
+    "front_coded_dict": q_front_coded_dict,
+    "dict_decoded": q_dict_decoded,
+    "auto_stopwords": q_auto_stopwords,
 }
