@@ -5552,6 +5552,37 @@ q(qid, term, qtf) AS (VALUES
 {_cori_ctes.lstrip()}
 SELECT qid, shard_id, rank, score FROM srk WHERE rank <= 4"""
 
+    # multinomial NB with add-one smoothing; prior rounded 6dp at
+    # train, final score rounded 6dp — both engines spell the same
+    # double chain; argmax tiebreak on class name
+    sql["nb_classify"] = f"""
+WITH {TOK_CTE},
+{TURNS_CTE.lstrip()},
+lab AS (SELECT doc_id, role AS label FROM turns),
+jj AS (SELECT tc.doc_id, tc.term, tc.tf, lab.label
+       FROM tc JOIN lab USING (doc_id)),
+tcl AS (SELECT term, label, sum(tf)::BIGINT AS cf_tc FROM jj GROUP BY 1, 2),
+pcl AS (SELECT label, count(DISTINCT doc_id)::BIGINT AS n_docs_c,
+               sum(tf)::BIGINT AS tokens_c
+        FROM jj GROUP BY 1),
+ndl AS (SELECT count(*)::DOUBLE AS n FROM lab),
+vv AS (SELECT count(*)::DOUBLE AS v FROM (SELECT DISTINCT term FROM tc)),
+cst AS (SELECT label, tokens_c,
+               round(ln(n_docs_c / (SELECT n FROM ndl)), 6) AS log_prior
+        FROM pcl),
+ngrid AS (SELECT tc.doc_id, tc.tf, c.label, c.tokens_c, c.log_prior, t.cf_tc
+          FROM tc CROSS JOIN cst c
+          LEFT JOIN tcl t ON t.term = tc.term AND t.label = c.label),
+nsc AS (SELECT doc_id, label,
+               round(log_prior + sum(tf * ln((coalesce(cf_tc, 0) + 1.0)
+                     / (tokens_c + (SELECT v FROM vv)))), 6) AS score
+        FROM ngrid GROUP BY doc_id, label, log_prior),
+npr AS (SELECT doc_id, label AS pred, score,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label) AS r
+        FROM nsc)
+SELECT doc_id, pred, score FROM npr WHERE r = 1"""
+
     # blocked front coding: rank lexicographic, block = rank div 8,
     # lcp vs predecessor via a correlated max over matching prefixes
     sql["front_coded_dict"] = f"""
@@ -5955,6 +5986,21 @@ def q_bloom_prune(spark, sf_dir):
     return (passed.join(F.broadcast(member), "term", "left")
             .select("term",
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
+
+
+def q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes role classifier over the transcripts
+    framing (operators/classify.py) — the deterministic stand-in for
+    the fastText-style model-based quality/domain filter of the
+    CCNet/GPT-3 data recipes: trained and applied corpus-side, two
+    map-side-combinable groupBys + one dictionary equi-join, scores
+    exact to the oracle."""
+    from .operators.classify import nb_predict, nb_train
+    tc, _ds, _ts, _n, _a = _corpus(spark, sf_dir)
+    labels = _turns(spark, sf_dir).select(
+        "doc_id", F.col("role").alias("label"))
+    tcl, cst, v = nb_train(tc, labels)
+    return nb_predict(tc, tcl, cst, v)
 
 
 def q_front_coded_dict(spark, sf_dir):
@@ -6380,4 +6426,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "front_coded_dict": q_front_coded_dict,
     "dict_decoded": q_dict_decoded,
     "auto_stopwords": q_auto_stopwords,
+    "nb_classify": q_nb_classify,
 }
