@@ -342,7 +342,7 @@ def main() -> None:
              "hll_distinct", "cms_heavy_hitters", "bloom_prune",
              "hard_negatives", "next_word_topk",
              "winnow_fingerprints", "containment_pairs", "token_entropy",
-             "zipf_slope", "shard_select", "bm25_topk_ef", "taat_bounded_topk", "scatter_gather_topk", "reassigned_postings", "corpus_diff", "index_checksums", "run_sigtest", "quantile_sketch", "routed_topk", "routing_recall", "taat_recall", "front_coded_dict", "dict_decoded", "auto_stopwords", "nb_classify"]
+             "zipf_slope", "shard_select", "bm25_topk_ef", "taat_bounded_topk", "scatter_gather_topk", "reassigned_postings", "corpus_diff", "index_checksums", "run_sigtest", "quantile_sketch", "routed_topk", "routing_recall", "taat_recall", "front_coded_dict", "dict_decoded", "auto_stopwords", "nb_classify", "infix_terms", "infix_topk"]
     for name in suite:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -242,6 +242,16 @@ SUFFIX_SET: list[tuple[str, str]] = [
     ("x005", "n an"),
 ]
 
+# Infix (*fix*) query set — mirror shapes again: a hot interior
+# bigram, two infixes in one query, an OOV miss beside a live infix,
+# and two infixes of one query reaching the SAME term (qtf sums).
+INFIX_SET: list[tuple[str, str]] = [
+    ("i001", "ca"),
+    ("i002", "art ilte"),
+    ("i003", "zzz erg"),
+    ("i004", "in ndo"),
+]
+
 FUZZY_SET: list[tuple[str, str]] = [
     ("z001", "spork join"),
     ("z002", "scann"),

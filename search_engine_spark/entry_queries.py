@@ -187,6 +187,17 @@ def _suffix_values() -> str:
     return ",\n        ".join(rows)
 
 
+def _infix_values() -> str:
+    """(qid, infix, qtf) VALUES rows for INFIX_SET — same driver-side
+    split as operators/wildcard.infix_query_df."""
+    from .conf import INFIX_SET
+    rows = []
+    for qid, title in INFIX_SET:
+        for ifx, qtf in sorted(Counter(title.lower().split()).items()):
+            rows.append(f"('{qid}', '{ifx}', {qtf})")
+    return ",\n        ".join(rows)
+
+
 def _qpos_values() -> str:
     """(qid, off, term) VALUES rows — QUERY_SET tokenized with 0-based
     offsets (the segmentation input; duplicates and order kept)."""
@@ -5552,6 +5563,48 @@ q(qid, term, qtf) AS (VALUES
 {_cori_ctes.lstrip()}
 SELECT qid, shard_id, rank, score FROM srk WHERE rank <= 4"""
 
+    # infix wildcard: the oracle needs only the SEMANTICS (contains);
+    # the k-gram index is the Spark-side mechanism and its contains
+    # post-filter guarantees identical candidates
+    sql["infix_terms"] = f"""
+WITH {TOK_CTE},
+iq(qid, infix, qtf) AS (VALUES
+        {_infix_values()}),
+iexp AS (
+  SELECT iq.qid, iq.infix, ts.term, ts.df,
+         row_number() OVER (PARTITION BY iq.qid, iq.infix
+                            ORDER BY ts.df DESC, ts.term) AS rn
+  FROM iq JOIN ts ON instr(ts.term, iq.infix) > 0)
+SELECT qid, infix, term, df FROM iexp WHERE rn <= {PREFIX_MAX_EXPANSIONS}"""
+
+    sql["infix_topk"] = f"""
+WITH {TOK_CTE},
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+adl AS (SELECT avg(dl) AS avgdl FROM ds),
+iq(qid, infix, qtf) AS (VALUES
+        {_infix_values()}),
+iexp AS (
+  SELECT iq.qid, ts.term, iq.qtf,
+         row_number() OVER (PARTITION BY iq.qid, iq.infix
+                            ORDER BY ts.df DESC, ts.term) AS rn
+  FROM iq JOIN ts ON instr(ts.term, iq.infix) > 0),
+eq AS (SELECT qid, term, sum(qtf)::INT AS qtf FROM iexp
+       WHERE rn <= {PREFIX_MAX_EXPANSIONS} GROUP BY 1, 2),
+hits AS (
+  SELECT eq.qid, tc.doc_id,
+         eq.qtf * ln(1.0 + ((SELECT n FROM n) - ts.df::DOUBLE + 0.5) / (ts.df::DOUBLE + 0.5))
+               * (tc.tf::DOUBLE * ({BM25_K1} + 1.0))
+                 / (tc.tf::DOUBLE + {BM25_K1} * ({one_minus_b} + {BM25_B} * ds.dl / (SELECT avgdl FROM adl)))
+         AS partial
+  FROM eq JOIN tc USING (term) JOIN ts USING (term) JOIN ds USING (doc_id)
+),
+scored AS (SELECT qid, doc_id, round(sum(partial), 6) AS score
+           FROM hits GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+                  (row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id))::INT AS rank
+           FROM scored)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= 10"""
+
     # multinomial NB with add-one smoothing; prior rounded 6dp at
     # train, final score rounded 6dp — both engines spell the same
     # double chain; argmax tiebreak on class name
@@ -5986,6 +6039,29 @@ def q_bloom_prune(spark, sf_dir):
     return (passed.join(F.broadcast(member), "term", "left")
             .select("term",
                     F.coalesce("is_member", F.lit(False)).alias("is_member")))
+
+
+def q_infix_terms(spark, sf_dir):
+    """Infix (*fix*) dictionary expansion via the character-bigram
+    k-gram index (operators/wildcard.py::infix_expansions, IIR §3.2.2)
+    — completes the wildcard family (prefix, suffix, infix). The
+    dictionary is never LIKE-scanned; candidates come from the gram
+    equi-join + contains post-filter."""
+    from .conf import INFIX_SET
+    from .operators.wildcard import infix_expansions, infix_query_df
+    _tc_, _ds, ts, _n, _a = _corpus(spark, sf_dir)
+    iq = infix_query_df(spark, INFIX_SET)
+    return infix_expansions(ts, iq).select("qid", "infix", "term", "df")
+
+
+def q_infix_topk(spark, sf_dir):
+    """Top-k BM25 over the infix-expanded OR disjunction (terms
+    reached by two infixes of one query sum their qtf)."""
+    from .conf import INFIX_SET
+    from .operators.wildcard import infix_query_df, infix_topk
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    return infix_topk(tc, ds, ts, infix_query_df(spark, INFIX_SET),
+                      n_docs, avgdl, k=10)
 
 
 def q_nb_classify(spark, sf_dir):
@@ -6427,4 +6503,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dict_decoded": q_dict_decoded,
     "auto_stopwords": q_auto_stopwords,
     "nb_classify": q_nb_classify,
+    "infix_terms": q_infix_terms,
+    "infix_topk": q_infix_topk,
 }

@@ -164,3 +164,73 @@ def suffix_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     eq = (exp.groupBy("qid", "term")
           .agg(F.sum("qtf").cast("int").alias("qtf")))
     return bm25_topk(tc, ds, tstats, eq, n_docs, avgdl, k=k)
+
+
+def infix_query_df(spark: SparkSession,
+                   infix_set: list[tuple[str, str]]) -> DataFrame:
+    """(qid, infix, qtf) — whitespace-split, lowercased; repeated
+    infixes in one query accumulate qtf (driver-local, same convention
+    as prefix_query_df)."""
+    rows = []
+    for qid, title in infix_set:
+        for ifx, qtf in sorted(Counter(title.lower().split()).items()):
+            rows.append((qid, ifx, qtf))
+    return spark.createDataFrame(rows, "qid string, infix string, qtf int")
+
+
+def infix_expansions(tstats: DataFrame, iq: DataFrame,
+                     max_expansions: int = PREFIX_MAX_EXPANSIONS) -> DataFrame:
+    """(qid, infix, term, df, qtf) — dictionary terms CONTAINING each
+    query infix (``*fix*``), top-``max_expansions`` by (df desc, term
+    asc), completing the wildcard family next to prefix and suffix.
+
+    The k-gram dictionary index (Manning/Raghavan/Schütze IIR §3.2.2):
+    every term explodes into its distinct character bigrams ONCE; a
+    query infix's bigrams equi-join that relation, and a term whose
+    match count equals the infix's bigram count is a candidate; the
+    classic contains() post-filter then kills the non-contiguous false
+    positives. The dictionary is never LIKE-'%fix%'-scanned — the only
+    per-term work is the bigram explode (dictionary-sized, done once),
+    and candidates are bounded by the rarest query bigram's posting
+    list in the gram index. Single-character infixes have no bigram
+    and fall back to a documented direct contains pass over the
+    dictionary (still dictionary-scale, never corpus-scale)."""
+    grams = (tstats.select(
+        "term", "df",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(length(term) - 1, 0)),"
+            " i -> substr(term, i, 2))"))).alias("g")))
+    iqg = (iq.where(F.length("infix") >= 2)
+           .select("qid", "infix", "qtf",
+                   F.explode(F.array_distinct(F.expr(
+                       "transform(sequence(1, length(infix) - 1),"
+                       " i -> substr(infix, i, 2))"))).alias("g")))
+    ng = (iqg.groupBy("qid", "infix", "qtf")
+          .agg(F.count("*").alias("_ng")))
+    cand = (grams.join(F.broadcast(iqg), "g")
+            .groupBy("qid", "infix", "term", "df")
+            .agg(F.count("*").alias("_hit"))
+            .join(F.broadcast(ng), ["qid", "infix"])
+            .where(F.col("_hit") == F.col("_ng"))
+            .where(F.instr("term", F.col("infix")) > 0)
+            .select("qid", "infix", "term", "df", "qtf"))
+    short = (tstats.select("term", "df")
+             .crossJoin(F.broadcast(iq.where(F.length("infix") < 2)))
+             .where(F.instr("term", F.col("infix")) > 0)
+             .select("qid", "infix", "term", "df", "qtf"))
+    exp = cand.unionByName(short)
+    w = Window.partitionBy("qid", "infix").orderBy(F.desc("df"), F.asc("term"))
+    return (exp.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_expansions).drop("_rn"))
+
+
+def infix_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
+               iq: DataFrame, n_docs: int, avgdl: float,
+               k: int = TOP_K_DEFAULT,
+               max_expansions: int = PREFIX_MAX_EXPANSIONS) -> DataFrame:
+    """Top-k BM25 over the infix-expanded disjunction (a term reached
+    by two infixes of one query sums their qtf)."""
+    exp = infix_expansions(tstats, iq, max_expansions)
+    eq = (exp.groupBy("qid", "term")
+          .agg(F.sum("qtf").cast("int").alias("qtf")))
+    return bm25_topk(tc, ds, tstats, eq, n_docs, avgdl, k=k)

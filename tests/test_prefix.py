@@ -166,3 +166,42 @@ def _py_expand_suffix(vocab_df: dict[str, int], suffix_set, cap: int):
             for t in hits:
                 out[qid][t] += qtf
     return out
+
+
+# ------------------------------------------------------------------ infix
+
+def test_infix_kgram_candidates_and_postfilter(spark):
+    from search_engine_spark.operators.wildcard import (infix_expansions,
+                                                        infix_query_df)
+    ts = spark.createDataFrame(
+        [("filter", 10, 20), ("filler", 8, 16), ("flute", 5, 10),
+         ("lite", 3, 6), ("abcb", 2, 4)],
+        "term string, df long, cf long")
+    iq = infix_query_df(spark, [("q1", "ilt"), ("q2", "bc")])
+    got = {(r.qid, r.term) for r in infix_expansions(ts, iq).collect()}
+    # 'ilt' matches filter only ('filler' has il+ll, 'lite' lacks il)
+    assert ("q1", "filter") in got
+    assert ("q1", "filler") not in got and ("q1", "lite") not in got
+    assert ("q2", "abcb") in got
+
+
+def test_infix_noncontiguous_bigrams_rejected(spark):
+    # term contains BOTH bigrams of the infix but not contiguously:
+    # the k-gram candidate must die in the contains post-filter
+    from search_engine_spark.operators.wildcard import (infix_expansions,
+                                                        infix_query_df)
+    ts = spark.createDataFrame([("abxbc", 4, 8), ("xabcx", 4, 8)],
+                               "term string, df long, cf long")
+    iq = infix_query_df(spark, [("q1", "abc")])
+    got = {r.term for r in infix_expansions(ts, iq).collect()}
+    assert got == {"xabcx"}  # 'abxbc' has ab+bc but not 'abc'
+
+
+def test_infix_single_char_fallback(spark):
+    from search_engine_spark.operators.wildcard import (infix_expansions,
+                                                        infix_query_df)
+    ts = spark.createDataFrame([("cat", 3, 6), ("dog", 2, 4)],
+                               "term string, df long, cf long")
+    iq = infix_query_df(spark, [("q1", "o")])
+    got = {r.term for r in infix_expansions(ts, iq).collect()}
+    assert got == {"dog"}
