@@ -33,8 +33,8 @@ def main() -> None:
     ap.add_argument("--mode",
                     choices=("auto", "taat", "taat-bounded", "wand",
                              "maxscore", "phrase",
-                             "near", "lm", "prefix", "suffix", "fuzzy",
-                             "suggest", "mlt"),
+                             "near", "lm", "prefix", "suffix", "infix",
+                             "fuzzy", "suggest", "mlt"),
                     default="wand",
                     help="auto = cost-based pick (MaxScore for shallow k, "
                          "exhaustive for deep k); phrase/near need an index "
@@ -147,6 +147,12 @@ def main() -> None:
         sq = suffix_query_df(spark, queries)
         res = suffix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, sq,
                           ix.n_docs, ix.avgdl, k=k_eff)
+    elif args.mode == "infix":
+        from search_engine_spark.operators.wildcard import (infix_query_df,
+                                                            infix_topk)
+        iq = infix_query_df(spark, queries)
+        res = infix_topk(ix.term_counts, ix.doc_stats, ix.term_stats, iq,
+                         ix.n_docs, ix.avgdl, k=k_eff)
     elif args.mode == "fuzzy":
         from search_engine_spark.operators.fuzzy import (fuzzy_bm25_topk,
                                                          fuzzy_query_terms_df)

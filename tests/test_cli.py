@@ -161,3 +161,12 @@ def test_cli_taat_bounded_and_route(built_index):
     assert [int(r[3]) for r in route] == [1, 2]
     assert 1 <= len(hits) <= 5
     assert [int(r[2]) for r in hits] == list(range(1, len(hits) + 1))
+
+
+def test_cli_infix_mode(built_index):
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "infix", "--query", "e", "--k", "5"])
+    rows = [ln.split("\t") for ln in got.strip().splitlines() if "\t" in ln]
+    assert 1 <= len(rows) <= 5
+    assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
+    assert all(float(r[3]) > 0 for r in rows)
