@@ -2643,7 +2643,8 @@ newc AS (
                   ELSE text END) AS nh
   FROM documents WHERE doc_id % 13 <> 0
   UNION ALL
-  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 17 = 0
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), md5(text)
+  FROM documents WHERE doc_id % 17 = 0
 ),
 dj AS (SELECT doc_id, oh, nh FROM oldc FULL OUTER JOIN newc USING (doc_id))
 SELECT doc_id::BIGINT AS doc_id,
@@ -6184,19 +6185,23 @@ def q_quantile_sketch(spark, sf_dir):
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff (operators/corpusops.py::corpus_diff) between the
     corpus and a deterministically-derived second snapshot (doc_id%13
-    removed, %11 text-edited, %17 cloned to doc_id+100000 as added) —
+    removed, %11 text-edited, %17 cloned past max(doc_id) as added) —
     the added/removed/changed partition the delta/tombstone serving
-    path consumes. Text never shuffles: both sides reduce to
-    (doc_id, md5) first."""
+    path consumes. The added-id offset is max(doc_id)+1, DERIVED from
+    the corpus (identically in the oracle), so clone ids can never
+    collide with real ids at any scale factor. Text never shuffles:
+    both sides reduce to (doc_id, md5) first."""
     from .operators.corpusops import corpus_diff
     d = _docs(spark, sf_dir)
+    off = d.agg(F.max("doc_id")).first()[0] + 1
     new = (d.where(F.col("doc_id") % 13 != 0)
            .select("doc_id",
                    F.when(F.col("doc_id") % 11 == 0,
                           F.concat(F.col("text"), F.lit(" edited")))
                    .otherwise(F.col("text")).alias("text")))
     added = (d.where(F.col("doc_id") % 17 == 0)
-             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+             .select((F.col("doc_id") + F.lit(int(off))).alias("doc_id"),
+                     "text"))
     return corpus_diff(d, new.unionByName(added))
 
 

@@ -49,6 +49,41 @@ def _lcp_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int32")
 
 
+def _rank_terms(ts: DataFrame) -> DataFrame:
+    """Attach the dense 0-based lexicographic rank to each (term, df,
+    cf) row — the mint_doc_ids one-shuffle shape (repartitionByRange +
+    sortWithinPartitions + collected per-partition offsets) applied
+    DIRECTLY to the term rows. No synthetic row id ever joins back to
+    a relation derived from itself: the rank is computed on the same
+    rows it labels, keyed by the term itself, so a stage retry that
+    recomputes the ranked relation re-derives every (term, rank) pair
+    together and cannot cross-associate a term with another term's
+    rank (the monotonically_increasing_id self-join hazard this
+    replaces)."""
+    from ..operators.docids import docid_buckets_for
+
+    spark = ts.sparkSession
+    n_terms = ts.count()
+    n_buckets = docid_buckets_for(max(1, n_terms))
+    ranged = (ts
+              .repartitionByRange(max(1, n_buckets), "term")
+              .sortWithinPartitions("term")
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_mid", F.monotonically_increasing_id()))
+    counts = (ranged.groupBy("_pid")
+              .agg(F.count("*").alias("_cnt"), F.min("_mid").alias("_base"))
+              .collect())
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r._pid):
+        offsets.append((r._pid, acc, r._base))
+        acc += r._cnt
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long, _base long")
+    return (ranged.join(F.broadcast(off_df), "_pid")
+            .select((F.col("_off") + F.col("_mid") - F.col("_base"))
+                    .cast("long").alias("rank"),
+                    "term", "df", "cf"))
+
+
 def front_code_terms(ts: DataFrame, block: int = FC_BLOCK) -> DataFrame:
     """(rank, block, lcp, suffix, df, cf) — blocked front-coded
     dictionary. rank is the dense lexicographic term rank (0-based);
@@ -56,13 +91,7 @@ def front_code_terms(ts: DataFrame, block: int = FC_BLOCK) -> DataFrame:
     whole (lcp 0, suffix = term), every other term as the
     shared-prefix length against its PREDECESSOR plus the remaining
     suffix."""
-    from ..operators.reassign import reassign_doc_ids
-
-    keyed = ts.select(F.monotonically_increasing_id().alias("doc_id"),
-                      "term", "df", "cf")
-    mapping = reassign_doc_ids(keyed.select("doc_id", "term"), ["term"])
-    ranked = (keyed.join(mapping, "doc_id")
-              .select(F.col("new_id").alias("rank"), "term", "df", "cf")
+    ranked = (_rank_terms(ts.select("term", "df", "cf"))
               .withColumn("block", F.expr(f"rank div {int(block)}")))
     from pyspark.sql.window import Window
     w = Window.partitionBy("block").orderBy("rank")

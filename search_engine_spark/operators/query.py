@@ -138,16 +138,18 @@ def taat_bounded_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                                    Window.currentRow))))
     admit_terms = ranked.where((F.col("trk") == 1)
                                | (F.col("cumdf") <= acc_budget))
-    # the admitted set is bounded by ~cumdf ≤ budget (+ the rarest
-    # term's df) rows per query — broadcastable BY CONSTRUCTION, so
-    # the admission filter runs map-side on the hit stream BEFORE the
-    # score shuffle; only ~budget accumulators per query ever shuffle
+    # the admitted set is bounded by cumdf ≤ budget PLUS the rarest
+    # term's full df (trk==1 is always admitted): for a query whose
+    # every term is frequent (single stopword), that is corpus-sized,
+    # so no forced broadcast here — AQE converts the semi-join to
+    # broadcast at runtime whenever the measured relation is small,
+    # and falls back to a shuffled semi-join when it isn't
     admitted = (tc.join(F.broadcast(admit_terms.select("qid", "term")),
                         "term", "inner")
                 .select("qid", "doc_id").distinct())
     qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
     hits = (tc.join(qdict, "term", "inner")
-            .join(F.broadcast(admitted), ["qid", "doc_id"], "leftsemi")
+            .join(admitted, ["qid", "doc_id"], "leftsemi")
             .join(ds.select("doc_id", "dl"), "doc_id"))
     tf = F.col("tf").cast("double")
     dl_norm = 1.0 - b + b * F.col("dl") / F.lit(avgdl)

@@ -195,10 +195,14 @@ def infix_expansions(tstats: DataFrame, iq: DataFrame,
     list in the gram index. Single-character infixes have no bigram
     and fall back to a documented direct contains pass over the
     dictionary (still dictionary-scale, never corpus-scale)."""
-    grams = (tstats.select(
+    # 1-char terms can never match a >=2-char infix, and for them
+    # sequence(1, 0) infers step -1 yielding [1, 0] — junk grams
+    # (substr at pos 0) that silently inflate the gram relation —
+    # so they are filtered BEFORE the explode
+    grams = (tstats.where(F.length("term") >= 2).select(
         "term", "df",
         F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, greatest(length(term) - 1, 0)),"
+            "transform(sequence(1, length(term) - 1),"
             " i -> substr(term, i, 2))"))).alias("g")))
     iqg = (iq.where(F.length("infix") >= 2)
            .select("qid", "infix", "qtf",
