@@ -7,6 +7,13 @@ oracle_sql()   — DuckDB-equivalent SQL per query.
 
 Implementations live in search_engine_spark/entry_queries.py.
 
+The registry is CONSOLIDATED (round 5): every gate not already covered
+by the round-4 artifact is folded into one of 14 per-family composite
+bundles (search_engine_spark/bundles.py) whose oracle is the UNION ALL
+of the members' oracles on a fixed slot schema, so the whole registry
+(66 entries) fits inside two 50-row artifact prefixes while every one
+of the 192 underlying relations stays value-verified.
+
 `queries()` orders gates LEAST-RECENTLY-VERIFIED FIRST: the round-3
 correctness run recorded only the first 50 registry entries (a prefix
 cap), leaving 19 gates without a round-3 row. The order is derived

@@ -42,6 +42,16 @@ def main() -> int:
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs, oracles = e.queries(), e.oracle_sql()
+    # individual bundle MEMBERS remain runnable by name via the full
+    # registry (the driver-facing registry exposes only the bundles)
+    if only:
+        from search_engine_spark.entry_queries import (QUERIES_ALL,
+                                                       oracle_sql_map_all)
+        for n in only:
+            if n not in qs and n in QUERIES_ALL:
+                qs[n] = QUERIES_ALL[n]
+                oracles.update({k: v for k, v in oracle_sql_map_all().items()
+                                if k == n})
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
