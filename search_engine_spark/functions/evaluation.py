@@ -224,6 +224,12 @@ def rbo_weights(depth: int, p: float) -> dict[int, float]:
     return out
 
 
+# hard ceiling for the EXACT sign-flip enumeration: the 2^n · n sign
+# table is built driver-side, so n=20 (~21M tuples) is the last safe
+# size; anything larger must use paired_sign_test_mc
+SIGN_TEST_MAX_N = 20
+
+
 def paired_sign_test(ap_a: DataFrame, ap_b: DataFrame) -> DataFrame:
     """One row (n_queries, mean_diff, t_stat, p_value) — EXACT paired
     sign-flip permutation test between two runs' per-query AP columns
@@ -250,6 +256,11 @@ def paired_sign_test(ap_a: DataFrame, ap_b: DataFrame) -> DataFrame:
     w = Window.orderBy("qid")
     rows = d.withColumn("idx", F.row_number().over(w) - 1).collect()
     n = len(rows)
+    if n > SIGN_TEST_MAX_N:
+        raise ValueError(
+            f"paired_sign_test enumerates 2^n sign patterns driver-side "
+            f"and is capped at n={SIGN_TEST_MAX_N} queries (got {n}); "
+            f"use paired_sign_test_mc for larger query sets")
     spark = ap_a.sparkSession
     dd = spark.createDataFrame([(r.d, r.idx) for r in rows],
                                "d double, idx int")
@@ -275,3 +286,146 @@ def paired_sign_test(ap_a: DataFrame, ap_b: DataFrame) -> DataFrame:
         F.round("mean_d", 6).alias("mean_diff"),
         F.round("t", 6).alias("t_stat"),
         F.round(F.col("nh").cast("double") / (1 << n), 6).alias("p_value")))
+
+
+def paired_sign_test_mc(ap_a: DataFrame, ap_b: DataFrame,
+                        n_samples: int = 2048,
+                        seed: str = "mc1") -> DataFrame:
+    """One row (n_queries, n_samples, mean_diff, t_stat, p_value) —
+    MONTE-CARLO paired sign-flip permutation test, the standard
+    extension of `paired_sign_test` beyond ~20 queries (Smucker, Allan
+    & Carterette, CIKM 2007 §3: sample sign patterns instead of
+    enumerating all 2^n). Real evaluation sets are 50-250 topics, far
+    past the exact path's driver-side 2^n ceiling.
+
+    No host RNG: the sign of query i under sampled pattern p is the
+    parity of the first hex digit of md5(seed:p:i), computed IN-ENGINE
+    on both sides, so the p-value is bit-reproducible in the DuckDB
+    oracle and across cluster re-runs (the same determinism-over-RNG
+    rule as minhash/simhash). The sample grid is n_samples × n rows,
+    built distributed (spark.range cross join the broadcast diff
+    table) — never a driver-side list.
+
+    p_value uses the add-one estimator (1 + hits) / (1 + n_samples),
+    the standard positively-biased-but-valid MC permutation p (the
+    observed pattern counts as one sample). The flip-mean comparison
+    keeps the exact path's 9dp cross-engine summation guard.
+    """
+    d = (ap_a.select("qid", F.col("ap").alias("_a"))
+         .join(ap_b.select("qid", F.col("ap").alias("_b")), "qid")
+         .select("qid", (F.col("_a") - F.col("_b")).alias("d")))
+    w = Window.orderBy("qid")
+    dd = d.select("d", (F.row_number().over(w) - 1).alias("idx"))
+    n = dd.count()
+    spark = ap_a.sparkSession
+    samples = spark.range(int(n_samples)).select(F.col("id").alias("p"))
+    odd = list("13579bdf")
+    sgn = F.when(
+        F.substring(F.md5(F.concat_ws(
+            ":", F.lit(seed), F.col("p").cast("string"),
+            F.col("idx").cast("string"))), 1, 1).isin(odd),
+        F.lit(-1)).otherwise(F.lit(1))
+    flips = (samples.crossJoin(F.broadcast(dd))
+             .groupBy("p")
+             .agg((F.sum(sgn * F.col("d")) / n).alias("mf")))
+    agg = dd.agg(F.sum("d").alias("sd"),
+                 F.sum(F.col("d") * F.col("d")).alias("sd2"))
+    mean_d = F.col("sd") / n
+    var = (F.col("sd2") - F.col("sd") * F.col("sd") / n) / max(n - 1, 1)
+    t = F.when(var > 0, mean_d / F.sqrt(var / n)).otherwise(F.lit(0.0))
+    obs = agg.select(mean_d.alias("mean_d"), t.alias("t"))
+    hits = (flips.crossJoin(F.broadcast(obs))
+            .where(F.round(F.abs(F.col("mf")), 9)
+                   >= F.round(F.abs(F.col("mean_d")), 9))
+            .agg(F.count("*").alias("nh")))
+    return (hits.crossJoin(F.broadcast(obs)).select(
+        F.lit(n).cast("long").alias("n_queries"),
+        F.lit(int(n_samples)).cast("long").alias("n_samples"),
+        F.round("mean_d", 6).alias("mean_diff"),
+        F.round("t", 6).alias("t_stat"),
+        F.round((F.col("nh").cast("double") + 1.0)
+                / (float(n_samples) + 1.0), 6).alias("p_value")))
+
+
+def bpref(results: DataFrame, qrels: DataFrame, qnonrels: DataFrame,
+          depth: int = 1000) -> DataFrame:
+    """(qid, n_rel, n_nonrel, bpref) — trec_eval's binary preference
+    measure (Buckley & Voorhees, SIGIR 2004), the judged-only metric
+    trec_eval -M1000 reports next to MAP (/root/reference/src/run:40):
+
+        bpref = (1/R) Σ_{r ∈ retrieved relevant}
+                (1 − min(|nonrel above r|, min(R,N)) / min(R,N))
+
+    where R/N are the judged relevant/nonrelevant counts and `nonrel
+    above r` counts JUDGED nonrelevant docs retrieved ahead of r —
+    unjudged docs are invisible, which is the point of the measure.
+    When min(R,N) = 0 each retrieved relevant contributes 1 (trec_eval
+    convention). Queries come from the qrels universe, bpref = 0 when
+    nothing relevant is retrieved.
+
+    Shape: two broadcast-sized judgment joins on the ≤depth run, one
+    per-qid cumulative window over judged rows only (≤ depth rows per
+    query), one aggregate — no corpus-scale state."""
+    r = results.where(F.col("rank") <= depth)
+    n_rel = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("n_rel"))
+    n_non = qnonrels.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_nonrel"))
+    judged = (r.join(qrels.withColumn("_rel", F.lit(1)),
+                     ["qid", "doc_id"], "left")
+              .join(qnonrels.withColumn("_non", F.lit(1)),
+                    ["qid", "doc_id"], "left")
+              .where(F.col("_rel").isNotNull() | F.col("_non").isNotNull()))
+    w = (Window.partitionBy("qid").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    judged = judged.withColumn(
+        "_non_above",
+        F.coalesce(F.sum(F.coalesce("_non", F.lit(0))).over(w), F.lit(0)))
+    base = (n_rel.join(n_non, "qid", "left")
+            .select("qid", "n_rel",
+                    F.coalesce("n_nonrel", F.lit(0)).cast("long")
+                     .alias("n_nonrel")))
+    jj = judged.where(F.col("_rel") == 1).join(base, "qid")
+    minrn = F.least(F.col("n_rel"), F.col("n_nonrel"))
+    contrib = F.when(
+        minrn > 0,
+        F.lit(1.0) - F.least(F.col("_non_above").cast("double"),
+                             minrn.cast("double")) / minrn
+    ).otherwise(F.lit(1.0))
+    per_q = jj.groupBy("qid").agg(F.sum(contrib).alias("_s"))
+    return (base.join(per_q, "qid", "left")
+            .select("qid", "n_rel", "n_nonrel",
+                    F.round(F.coalesce("_s", F.lit(0.0))
+                            / F.col("n_rel"), 6).alias("bpref")))
+
+
+def r_precision(results: DataFrame, qrels: DataFrame,
+                depth: int = 1000) -> DataFrame:
+    """(qid, n_rel, rprec) — trec_eval's R-precision: precision at
+    rank R where R is the query's judged-relevant count. With a run
+    truncated at `depth` < R the numerator can only count what was
+    retrieved, exactly as trec_eval scores a depth-limited run file."""
+    r = results.where(F.col("rank") <= depth)
+    n_rel = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("n_rel"))
+    hits = (r.join(n_rel, "qid")
+            .where(F.col("rank") <= F.col("n_rel"))
+            .join(qrels, ["qid", "doc_id"], "leftsemi")
+            .groupBy("qid").agg(F.count("*").cast("long").alias("_h")))
+    return (n_rel.join(hits, "qid", "left")
+            .select("qid", "n_rel",
+                    F.round(F.coalesce("_h", F.lit(0))
+                            / F.col("n_rel").cast("double"), 6)
+                     .alias("rprec")))
+
+
+def gmap(results: DataFrame, qrels: DataFrame, depth: int = 1000,
+         eps: float = 1e-5) -> DataFrame:
+    """One row (n_queries, gmap) — geometric-mean AP over judged
+    queries, trec_eval's gm_map: exp(mean(ln(max(ap, eps)))) with the
+    standard eps = 1e-5 floor for zero-AP queries. Rewards consistency
+    across queries where arithmetic MAP lets one easy query dominate.
+    Per-query AP is the 6dp-rounded per_query_ap both engines share."""
+    ap = per_query_ap(results, qrels, depth)
+    return ap.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.exp(F.avg(F.log(F.greatest(F.col("ap"), F.lit(eps))))), 6)
+         .alias("gmap"))

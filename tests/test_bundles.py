@@ -25,10 +25,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bundles_partition_the_non_r4_registry():
     members = [g for ms in BUNDLE_MEMBERS.values() for g in ms]
     assert len(members) == len(set(members)), "a gate is in two bundles"
-    rows_only = {n for n in QUERIES_ALL if n not in oracle_sql_map_all()}
-    covered = set(members) | set(_R4_COVERED) | rows_only
-    assert covered == set(QUERIES_ALL)
-    # r4-covered gates are never also bundled
+    # every individual gate is either folded into a bundle or exposed
+    # under its own name in the driver registry — nothing is dropped
+    exposed = set(QUERIES_ALL) & set(QUERIES)
+    assert set(members) | exposed == set(QUERIES_ALL)
+    # and never both (a double-verified gate wastes an artifact slot)
+    assert not set(members) & exposed
     assert not set(members) & set(_R4_COVERED)
 
 

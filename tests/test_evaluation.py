@@ -219,3 +219,91 @@ def test_sign_test_identical_runs(spark):
     a = _ap_df(spark, [("q1", 0.5), ("q2", 0.4), ("q3", 0.3)])
     r = paired_sign_test(a, a).collect()[0]
     assert r.mean_diff == 0.0 and r.t_stat == 0.0 and r.p_value == 1.0
+
+
+def test_sign_test_guard_raises_beyond_max_n(spark):
+    from search_engine_spark.functions.evaluation import (SIGN_TEST_MAX_N,
+                                                          paired_sign_test)
+    n = SIGN_TEST_MAX_N + 1
+    a = _ap_df(spark, [(f"q{i:02d}", 0.5 + i * 0.001) for i in range(n)])
+    b = _ap_df(spark, [(f"q{i:02d}", 0.4) for i in range(n)])
+    with pytest.raises(ValueError, match="paired_sign_test_mc"):
+        paired_sign_test(a, b)
+
+
+def test_sign_test_mc_consistent_wins(spark):
+    from search_engine_spark.functions.evaluation import paired_sign_test_mc
+    # A beats B on all 24 queries by ≥0.05: very few sampled sign
+    # patterns reach |mean_obs|, so p must be small; deterministic
+    # given (seed, n_samples)
+    a = _ap_df(spark, [(f"q{i:02d}", 0.5 + i * 0.001) for i in range(24)])
+    b = _ap_df(spark, [(f"q{i:02d}", 0.4) for i in range(24)])
+    r = paired_sign_test_mc(a, b, n_samples=512, seed="t1").collect()[0]
+    assert r.n_queries == 24 and r.n_samples == 512
+    assert r.mean_diff > 0.1
+    assert r.p_value <= 3.0 / 513  # identity-ish patterns only
+    r2 = paired_sign_test_mc(a, b, n_samples=512, seed="t1").collect()[0]
+    assert r2.p_value == r.p_value  # bit-reproducible, no host RNG
+
+
+def test_sign_test_mc_identical_runs(spark):
+    from search_engine_spark.functions.evaluation import paired_sign_test_mc
+    a = _ap_df(spark, [(f"q{i:02d}", 0.3 + i * 0.01) for i in range(22)])
+    r = paired_sign_test_mc(a, a, n_samples=256).collect()[0]
+    assert r.mean_diff == 0.0 and r.p_value == 1.0
+
+
+# ------------------------------------------------- bpref / R-prec / GMAP
+
+def _run_df(spark, rows):
+    return spark.createDataFrame(rows, "qid string, doc_id long, rank int")
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(rows, "qid string, doc_id long")
+
+
+def test_bpref_textbook(spark):
+    from search_engine_spark.functions.evaluation import bpref
+    # run: d1(rel) d2(non) d3(rel) d4(unjudged) d5(non); R=3 (d6 not
+    # retrieved), N=2, min(R,N)=2
+    run = _run_df(spark, [("q1", i, i) for i in range(1, 6)])
+    rel = _pairs_df(spark, [("q1", 1), ("q1", 3), ("q1", 6)])
+    non = _pairs_df(spark, [("q1", 2), ("q1", 5)])
+    r = bpref(run, rel, non).collect()[0]
+    # d1: 0 non above -> 1; d3: 1 non above -> 1 - 1/2; d6: not
+    # retrieved -> 0; bpref = (1 + 0.5)/3
+    assert r.n_rel == 3 and r.n_nonrel == 2
+    assert r.bpref == pytest.approx(0.5, abs=1e-9)
+
+
+def test_bpref_no_nonrelevant_judgments(spark):
+    from search_engine_spark.functions.evaluation import bpref
+    run = _run_df(spark, [("q1", 1, 1), ("q1", 2, 2)])
+    rel = _pairs_df(spark, [("q1", 1), ("q1", 2), ("q1", 9)])
+    non = _pairs_df(spark, [])
+    r = bpref(run, rel, non.selectExpr("cast(null as string) qid",
+                                       "cast(null as long) doc_id")
+              .where("qid is not null")).collect()[0]
+    # min(R,N)=0: each retrieved relevant contributes 1 -> 2/3
+    assert r.bpref == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_r_precision(spark):
+    from search_engine_spark.functions.evaluation import r_precision
+    # R=2; top-2 of the run holds exactly one relevant doc
+    run = _run_df(spark, [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3)])
+    rel = _pairs_df(spark, [("q1", 1), ("q1", 3)])
+    r = r_precision(run, rel).collect()[0]
+    assert r.n_rel == 2 and r.rprec == pytest.approx(0.5, abs=1e-9)
+
+
+def test_gmap_floor_and_geometry(spark):
+    from search_engine_spark.functions.evaluation import gmap
+    import math
+    # q1 AP=1.0 (1 rel, retrieved at rank 1), q2 AP=0 (nothing found)
+    run = _run_df(spark, [("q1", 1, 1), ("q2", 9, 1)])
+    rel = _pairs_df(spark, [("q1", 1), ("q2", 2)])
+    r = gmap(run, rel).collect()[0]
+    assert r.n_queries == 2
+    assert r.gmap == pytest.approx(math.sqrt(1.0 * 1e-5), abs=1e-6)
