@@ -267,25 +267,28 @@ def main() -> None:
 
     # --- TREC depth (k=1000): the regime where θ converges slowest and
     # pruning earns least (reference run preset depth, src/run:25,31,36).
-    # Interleaved like the k=10 pair, on a 60-query sub-batch to bound
-    # cost; honest either way — if deep k erodes the win, the numbers say
-    # so and BASELINE.md discusses it.
+    # The headline is topk_auto — the plan the engine ACTUALLY serves at
+    # this depth (cost-based pick routes k>AUTO_PRUNE_MAX_K to exhaustive
+    # index serving; forced block-max measured 2.1x slower in r4 and auto
+    # never selects it, so those samples bought nothing — VERDICT r4
+    # item 7). bm25_trec is kept as the same-plan reference pair.
     from search_engine_spark.conf import TOP_K_TREC
+    from search_engine_spark.operators.wand import topk_auto
     deep = query_terms_df(spark, zq_set[:60])
     bm25_topk_from_index(zidx, None, deep, zn, zavgdl, k=TOP_K_TREC).collect()
-    wand_topk_maxscore(zidx, deep, zn, zavgdl, k=TOP_K_TREC).collect()
-    lat_d, lat_dw = [], []
+    topk_auto(zidx, deep, zn, zavgdl, k=TOP_K_TREC).collect()
+    lat_d, lat_da = [], []
     for _ in range(2):
         t0 = time.time()
         bm25_topk_from_index(zidx, None, deep, zn, zavgdl, k=TOP_K_TREC).collect()
         lat_d.append(time.time() - t0)
         t0 = time.time()
-        wand_topk_maxscore(zidx, deep, zn, zavgdl, k=TOP_K_TREC).collect()
-        lat_dw.append(time.time() - t0)
+        topk_auto(zidx, deep, zn, zavgdl, k=TOP_K_TREC).collect()
+        lat_da.append(time.time() - t0)
     extras["bm25_trec_p50_ms_60q"] = round(statistics.median(lat_d) * 1000, 1)
-    extras["wand_trec_p50_ms_60q"] = round(statistics.median(lat_dw) * 1000, 1)
+    extras["auto_trec_p50_ms_60q"] = round(statistics.median(lat_da) * 1000, 1)
     extras["bm25_trec_samples"] = [round(x, 2) for x in lat_d]
-    extras["wand_trec_samples"] = [round(x, 2) for x in lat_dw]
+    extras["auto_trec_samples"] = [round(x, 2) for x in lat_da]
     extras["trec_k"] = TOP_K_TREC
 
     # the mapInPandas scorer — the north-rule surface; Arrow-transfer
@@ -345,7 +348,9 @@ def main() -> None:
              "zipf_slope", "shard_select", "bm25_topk_ef", "taat_bounded_topk", "scatter_gather_topk", "reassigned_postings", "corpus_diff", "index_checksums", "run_sigtest", "quantile_sketch", "routed_topk", "routing_recall", "taat_recall", "front_coded_dict", "dict_decoded", "auto_stopwords", "nb_classify", "infix_terms", "infix_topk"]
     for name in suite:
         t0 = time.time()
-        EQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # QUERIES_ALL: the bench times the individual relations, not the
+        # driver-facing composite bundles (which union ~10 of them each)
+        EQ.QUERIES_ALL[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     # fuzzy blocking fan-out evidence (VERDICT r3 #8): the deletion
@@ -475,6 +480,18 @@ def main() -> None:
                 "efficiency_pass_pairs": e_pairs,
                 "efficiency": max([e_global] + e_pairs),
             }
+    # the driver keeps only a ~2000-char tail of stdout, which truncated
+    # the r4 per-suite times (BENCH_r04.json parsed: null) — persist the
+    # FULL dict in-repo so round-over-round per-query deltas stay
+    # computable (VERDICT r4 next-round item 4)
+    rnd = os.environ.get("BENCH_ROUND", "5")
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             f"BENCH_full_r{rnd}.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line is still authoritative
     print(json.dumps(out))
 
 
