@@ -364,6 +364,39 @@ def main() -> None:
     extras["fuzzy_banded_terms"] = fstats["banded_terms"]
     extras["fuzzy_variant_rows"] = fstats["variant_rows"]
 
+    # production-dim ANN kernel evidence (VERDICT r4 item 6): at dim 768
+    # the interpreted JVM fold pays per array element per row; the
+    # Arrow/numpy einsum kernel is the scale path. Both are rank/value-
+    # identical (property-tested + shared oracle gate); this measures
+    # the speedup on a seeded synthetic corpus.
+    import numpy as _np
+    from search_engine_spark.operators.similarity import (brute_topk,
+                                                          brute_topk_np)
+    _ann_n = int(os.environ.get("BENCH_ANN_N", "16000"))
+    _ann_d = int(os.environ.get("BENCH_ANN_DIM", "768"))
+    _ann_q = int(os.environ.get("BENCH_ANN_Q", "16"))
+    _rng = _np.random.default_rng(768)
+    _vv = _rng.normal(size=(_ann_n, _ann_d))
+    emb768 = spark.createDataFrame(
+        [(i, [float(x) for x in _vv[i]]) for i in range(_ann_n)],
+        "vec_id long, embedding array<double>").repartition(cpus).cache()
+    emb768.count()
+    ann_t = {}
+    for name, fn in (("np", lambda: brute_topk_np(emb768, n_queries=_ann_q,
+                                                  k=10)),
+                     ("fold", lambda: brute_topk(emb768, n_queries=_ann_q,
+                                                 k=10))):
+        fn().collect()  # warm
+        t0 = time.time()
+        fn().collect()
+        ann_t[name] = time.time() - t0
+    emb768.unpersist()
+    extras["ann_dim768_fold_sec"] = round(ann_t["fold"], 3)
+    extras["ann_dim768_np_sec"] = round(ann_t["np"], 3)
+    extras["ann_dim768_np_speedup"] = round(ann_t["fold"] / ann_t["np"], 2)
+    extras["ann_dim768_n_vectors"] = _ann_n
+    extras["ann_dim768_n_queries"] = _ann_q
+
     total = round(sum(timings.values()), 3)
     out = {"metric": "suite_sec", "value": total, "unit": "sec",
            "queries": timings, "sf": sf, "cpus": cpus, **extras}

