@@ -345,7 +345,8 @@ def main() -> None:
              "hll_distinct", "cms_heavy_hitters", "bloom_prune",
              "hard_negatives", "next_word_topk",
              "winnow_fingerprints", "containment_pairs", "token_entropy",
-             "zipf_slope", "shard_select", "bm25_topk_ef", "taat_bounded_topk", "scatter_gather_topk", "reassigned_postings", "corpus_diff", "index_checksums", "run_sigtest", "quantile_sketch", "routed_topk", "routing_recall", "taat_recall", "front_coded_dict", "dict_decoded", "auto_stopwords", "nb_classify", "infix_terms", "infix_topk"]
+             "zipf_slope", "shard_select", "bm25_topk_ef", "taat_bounded_topk", "scatter_gather_topk", "reassigned_postings", "corpus_diff", "index_checksums", "run_sigtest", "quantile_sketch", "routed_topk", "routing_recall", "taat_recall", "front_coded_dict", "dict_decoded", "auto_stopwords", "nb_classify", "infix_terms", "infix_topk",
+             "topical_shards", "routed_topk_topical"]
     for name in suite:
         t0 = time.time()
         # QUERIES_ALL: the bench times the individual relations, not the
@@ -396,6 +397,61 @@ def main() -> None:
     extras["ann_dim768_np_speedup"] = round(ann_t["fold"] / ann_t["np"], 2)
     extras["ann_dim768_n_vectors"] = _ann_n
     extras["ann_dim768_n_queries"] = _ann_q
+
+    # --- selective search: topical sharding recall (VERDICT r4 item 3) ----
+    # The production selective-search story: conv-level k-means topical
+    # shards (operators/shards.py::topical_shard_map) routed by CORI at
+    # top_m=2 must reach ≥0.9 of the monolithic top-10 — measured here
+    # at 4 AND 8 shards on a deterministic topical transcripts corpus,
+    # with the same router over doc_id%n shards as the honest contrast.
+    from search_engine_spark.operators.index_build import term_stats
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.operators.shards import (routed_topk,
+                                                      routing_recall,
+                                                      topical_shard_map)
+    from search_engine_spark.sources.transcripts import topic_vocab_slices
+    import random as _random
+    t0 = time.time()
+    N_TOPICS = 8
+    tt = mint_doc_ids(generate_transcripts(
+        spark, n_convs=int(os.environ.get("BENCH_TOPICAL_CONVS", "1500")),
+        seed=7, n_topics=N_TOPICS, partitions=cpus)).cache()
+    ttc = term_counts(tt.select("doc_id", "text")).cache()
+    tds = doc_stats(ttc).cache()
+    tts = term_stats(ttc).cache()
+    tn = tt.count()
+    tavgdl = float(tds.agg(F.avg("dl")).collect()[0][0])
+    slices = topic_vocab_slices(N_TOPICS, seed=7)
+    _rq = _random.Random(99)
+    tq_set = []
+    for j in range(40):
+        tpc = _rq.randrange(N_TOPICS)
+        tq_set.append((f"t{j:03d}",
+                       " ".join(_rq.sample(slices[tpc][2:60],
+                                           _rq.randint(2, 3)))))
+    tq = query_terms_df(spark, tq_set)
+    tfull = bm25_topk(ttc, tds, tts, tq, tn, tavgdl, k=10).cache()
+    tfull.count()
+    conv = tt.select("doc_id", F.col("conv_id").alias("gid"))
+    for nsh in (4, 8):
+        smap = topical_shard_map(ttc, tds, tts, tn, n_shards=nsh,
+                                 dim=32, n_iters=4, group_of=conv).cache()
+        r_top = routed_topk(ttc, tds, tts, tq, tn, tavgdl, n_shards=nsh,
+                            top_m=2, k=10, shard_of=smap)
+        rec_t = (routing_recall(r_top, tfull, k=10)
+                 .agg(F.avg("recall_at_k")).collect()[0][0])
+        r_id = routed_topk(ttc, tds, tts, tq, tn, tavgdl, n_shards=nsh,
+                           top_m=2, k=10)
+        rec_i = (routing_recall(r_id, tfull, k=10)
+                 .agg(F.avg("recall_at_k")).collect()[0][0])
+        extras[f"routing_recall_topical_{nsh}sh_m2"] = round(float(rec_t), 4)
+        extras[f"routing_recall_idshard_{nsh}sh_m2"] = round(float(rec_i), 4)
+        smap.unpersist()
+    extras["topical_corpus_turns"] = tn
+    extras["topical_n_queries"] = len(tq_set)
+    timings["selective_search"] = round(time.time() - t0, 3)
+    for df in (tfull, tts, tds, ttc, tt):
+        df.unpersist()
 
     total = round(sum(timings.values()), 3)
     out = {"metric": "suite_sec", "value": total, "unit": "sec",

@@ -5735,6 +5735,95 @@ SELECT nf.qid, coalesce(nr.n_routed, 0)::BIGINT AS n_routed,
        round(coalesce(ov.n_overlap, 0) / nf.n_full, 6) AS recall_at_k
 FROM nf LEFT JOIN nr USING (qid) LEFT JOIN ov USING (qid)"""
 
+    # topical sharding: hashed tf·idf signatures (integer-quantized
+    # idf → engine-exact bucket sums) + 2 unrolled Lloyd iterations
+    # (the kmeans_cells pattern) + zero-signature docs → shard 0.
+    # Assumes tc/ds/ts in scope (TOK_CTE or _bm25_ctes).
+    _topical_ctes = """
+ndoc AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fw AS (SELECT tc.doc_id,
+              ((('0x' || substr(md5(tc.term), 1, 15))::BIGINT) % 16)::INT AS b,
+              sum(tc.tf::BIGINT
+                  * round(ln((SELECT n FROM ndoc) / ts.df::DOUBLE)
+                          * 1000)::BIGINT)::BIGINT AS w
+       FROM tc JOIN ts USING (term) GROUP BY 1, 2),
+fgrid AS (SELECT d.doc_id, gs.b
+          FROM (SELECT DISTINCT doc_id FROM fw) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) gs),
+fv AS (SELECT fgrid.doc_id,
+              list(coalesce(fw.w, 0)::DOUBLE ORDER BY fgrid.b) AS v
+       FROM fgrid LEFT JOIN fw ON fw.doc_id = fgrid.doc_id
+                              AND fw.b = fgrid.b
+       GROUP BY fgrid.doc_id),
+fvz AS (SELECT doc_id, v FROM fv WHERE list_sum(v) > 0),
+kc0 AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1)::INT AS cell,
+               v AS centv
+        FROM (SELECT doc_id, v FROM fvz ORDER BY doc_id LIMIT 4)),
+ks1 AS (SELECT fvz.doc_id, fvz.v, kc0.cell,
+               round(list_cosine_similarity(fvz.v, kc0.centv), 4) AS cos
+        FROM fvz, kc0),
+ka1 AS (SELECT doc_id, v, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cos DESC, cell) AS rn
+          FROM ks1) WHERE rn = 1),
+kc1 AS (SELECT cell, list(cval ORDER BY pos) AS centv FROM (
+          SELECT cell, i - 1 AS pos, round(avg(v[i]), 6) AS cval
+          FROM ka1, unnest(generate_series(1, 16)) t(i)
+          GROUP BY cell, i) GROUP BY cell),
+ks2 AS (SELECT fvz.doc_id, fvz.v, kc1.cell,
+               round(list_cosine_similarity(fvz.v, kc1.centv), 4) AS cos
+        FROM fvz, kc1),
+ka2 AS (SELECT doc_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cos DESC, cell) AS rn
+          FROM ks2) WHERE rn = 1),
+tmap AS (SELECT ds.doc_id, coalesce(ka2.cell, 0)::INT AS shard_id
+         FROM ds LEFT JOIN ka2 USING (doc_id))"""
+
+    sql["topical_shards"] = f"""
+WITH {TOK_CTE},
+{_topical_ctes.lstrip()}
+SELECT doc_id, shard_id FROM tmap"""
+
+    # CORI (NS=4 → 4.5/ln 5) over the topical shards, top_m=2 routes,
+    # BM25 scoring filtered to routed shards via the tmap join
+    sql["routed_topk_topical"] = f"""
+WITH {_bm25_ctes()},
+{_topical_ctes.lstrip()},
+tsh2 AS (SELECT m.shard_id, tc.term, count(*)::BIGINT AS df_s
+         FROM tc JOIN tmap m USING (doc_id) GROUP BY 1, 2),
+ssz2 AS (SELECT m.shard_id, sum(ds.dl)::BIGINT AS cw_s
+         FROM ds JOIN tmap m USING (doc_id) GROUP BY 1),
+acw2 AS (SELECT avg(cw_s) AS a FROM ssz2),
+sfr2 AS (SELECT term, count(*)::BIGINT AS sf_t FROM tsh2 GROUP BY term),
+grid2 AS (
+  SELECT q.qid, q.qtf, s.shard_id, s.cw_s, t.df_s, f.sf_t
+  FROM (SELECT DISTINCT qid, term, qtf FROM q) q CROSS JOIN ssz2 s
+  LEFT JOIN tsh2 t ON t.shard_id = s.shard_id AND t.term = q.term
+  LEFT JOIN sfr2 f ON f.term = q.term),
+bel2 AS (
+  SELECT qid, shard_id,
+         qtf * (0.4 + 0.6
+            * (coalesce(df_s, 0)::DOUBLE
+               / (coalesce(df_s, 0) + 50.0 + 150.0 * cw_s / (SELECT a FROM acw2)))
+            * (ln(4.5 / coalesce(sf_t, 1)::DOUBLE) / ln(5.0))) AS b
+  FROM grid2),
+scs2 AS (SELECT qid, shard_id, round(sum(b), 6) AS score
+         FROM bel2 GROUP BY 1, 2),
+srk2 AS (SELECT qid, shard_id,
+                (row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, shard_id))::INT AS rank
+         FROM scs2),
+routes2 AS (SELECT qid, shard_id FROM srk2 WHERE rank <= 2),
+rsc2 AS (SELECT s.qid, s.doc_id, s.score
+         FROM scored s JOIN tmap m USING (doc_id)
+         JOIN routes2 r ON r.qid = s.qid AND r.shard_id = m.shard_id),
+rrk2 AS (SELECT qid, doc_id, score,
+                (row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc_id))::INT AS rank
+         FROM rsc2)
+SELECT qid, doc_id, rank, score FROM rrk2 WHERE rank <= 10"""
+
     # numpy-kernel brute force is rank/value-identical to the fold path
     sql["embedding_topk_np"] = sql["embedding_topk"]
 
@@ -6719,6 +6808,39 @@ QUERIES_ALL["bpref_eval"] = q_bpref_eval
 QUERIES_ALL["rprec_eval"] = q_rprec_eval
 QUERIES_ALL["gmap_eval"] = q_gmap_eval
 QUERIES_ALL["run_sigtest_mc"] = q_run_sigtest_mc
+
+
+def q_topical_shards(spark, sf_dir):
+    """Topical shard map (operators/shards.py::topical_shard_map):
+    deterministic 2-iteration k-means over hashed tf·idf doc
+    signatures (dim 16, integer-quantized idf so per-bucket sums are
+    engine-exact), 4 cells = 4 shards, zero-signature docs → shard 0.
+    The selective-search partitioner (Kulkarni & Callan CIKM 2010);
+    value-gated end to end — feature hashing, quantization, both Lloyd
+    iterations and the final assignment all replayed by the oracle."""
+    from .operators.shards import topical_shard_map
+    tc, ds, ts, n_docs, _ = _corpus(spark, sf_dir)
+    return topical_shard_map(tc, ds, ts, n_docs, n_shards=4,
+                             dim=16, n_iters=2)
+
+
+def q_routed_topk_topical(spark, sf_dir):
+    """Route-then-score over TOPICAL shards: CORI top-2 of the 4
+    k-means shards per query, only their docs BM25-scored — the
+    production selective-search serving path (fan-out m=2) whose
+    recall dial the bench measures at ≥0.9 on topical corpora
+    (vs ~0.3-0.6 for the same router over doc_id%n shards)."""
+    from .operators.shards import routed_topk, topical_shard_map
+    tc, ds, ts, n_docs, avgdl = _corpus(spark, sf_dir)
+    smap = topical_shard_map(tc, ds, ts, n_docs, n_shards=4,
+                             dim=16, n_iters=2)
+    return routed_topk(tc, ds, ts, query_terms_df(spark, QUERY_SET),
+                       n_docs, avgdl, n_shards=4, top_m=2, k=10,
+                       shard_of=smap)
+
+
+QUERIES_ALL["topical_shards"] = q_topical_shards
+QUERIES_ALL["routed_topk_topical"] = q_routed_topk_topical
 
 
 # ---------------------------------------------------------------------

@@ -62,18 +62,44 @@ def _vocabulary(n: int = 5000, seed: int = 42) -> list[str]:
     return words
 
 
+def topic_vocab_slices(n_topics: int, vocab_size: int = 5000,
+                       seed: int = 42) -> list[list[str]]:
+    """The per-topic content-vocabulary slices used by topical
+    generation (n_topics > 0): the non-stopword vocabulary split into
+    n_topics disjoint contiguous slices. Exposed so bench/test query
+    sampling draws from the same slices the generator used."""
+    vocab = _vocabulary(vocab_size, seed)
+    n_stop = len(load_stopwords())
+    content = vocab[n_stop:]
+    per = len(content) // n_topics
+    return [content[t * per:(t + 1) * per] for t in range(n_topics)]
+
+
 def generate_transcripts_rows(n_convs: int = 50, seed: int = 42,
-                              vocab_size: int = 5000) -> list[tuple]:
+                              vocab_size: int = 5000,
+                              n_topics: int = 0) -> list[tuple]:
     """Deterministic transcript rows per FIXTURES.md §1 (no wall clock,
-    no unseeded randomness). Zipf-ish vocabulary with stopwords hot."""
+    no unseeded randomness). Zipf-ish vocabulary with stopwords hot.
+
+    n_topics > 0 switches on TOPICAL structure (the selective-search
+    fixture): each conversation draws a topic; 65% of its tokens come
+    from that topic's disjoint content-vocabulary slice (Zipf within
+    the slice), the rest from the global Zipf mix (stopwords hot) —
+    the standard topical-corpus model selective search assumes
+    (Kulkarni & Callan CIKM 2010). n_topics=0 is the legacy
+    byte-identical behavior every existing fixture/golden pins."""
     rng = random.Random(seed)
     vocab = _vocabulary(vocab_size, seed)
     # Zipf(s≈1.1) weights over rank
     weights = [1.0 / (r + 1) ** 1.1 for r in range(len(vocab))]
+    slices = topic_vocab_slices(n_topics, vocab_size, seed) if n_topics else []
+    sweights = ([1.0 / (r + 1) ** 1.1 for r in range(len(slices[0]))]
+                if n_topics else [])
     rows: list[tuple] = []
     row_no = 0
     for i in range(n_convs):
         conv = f"conv-{i:06d}"
+        topic = rng.randrange(n_topics) if n_topics else -1
         n_turns = min(1 + int(rng.paretovariate(1.5)), 16)
         for t in range(n_turns):
             role = "tool" if rng.random() < 0.08 else ("user" if t % 2 == 0 else "assistant")
@@ -81,7 +107,16 @@ def generate_transcripts_rows(n_convs: int = 50, seed: int = 42,
                 text: str | None = rng.choice(["", "   ", None])
             else:
                 n_tok = rng.randint(5, 120)
-                toks = rng.choices(vocab, weights=weights, k=n_tok)
+                if n_topics:
+                    n_topical = sum(1 for _ in range(n_tok)
+                                    if rng.random() < 0.65)
+                    toks = rng.choices(slices[topic], weights=sweights,
+                                       k=n_topical)
+                    toks += rng.choices(vocab, weights=weights,
+                                        k=n_tok - n_topical)
+                    rng.shuffle(toks)
+                else:
+                    toks = rng.choices(vocab, weights=weights, k=n_tok)
                 if rng.random() < 0.3:  # tf>1 runs: repeat a token burst
                     burst = rng.choice(toks)
                     toks.extend([burst] * rng.randint(1, 4))
@@ -96,8 +131,9 @@ def generate_transcripts_rows(n_convs: int = 50, seed: int = 42,
 
 
 def generate_transcripts(spark: SparkSession, n_convs: int = 50, seed: int = 42,
-                         vocab_size: int = 5000, partitions: int | None = None) -> DataFrame:
-    rows = generate_transcripts_rows(n_convs, seed, vocab_size)
+                         vocab_size: int = 5000, partitions: int | None = None,
+                         n_topics: int = 0) -> DataFrame:
+    rows = generate_transcripts_rows(n_convs, seed, vocab_size, n_topics)
     df = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
     if partitions:
         df = df.repartition(partitions)
