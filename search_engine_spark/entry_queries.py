@@ -3704,6 +3704,23 @@ SELECT doc_id, max(w) AS width, 1::INT AS height,
        max(b)::INT AS max_pixel, TRUE AS decode_ok
 FROM px GROUP BY doc_id"""
 
+    # PNG twin of the PPM gate: pixel byte j (0-based, 2×w RGB) is
+    # md5(text) digest byte j % 16; the oracle never touches PNG bytes
+    # — it re-derives the stats the REAL decode must reproduce
+    sql["media_png_features"] = """
+WITH px AS (
+  SELECT doc_id, (2 + doc_id % 3)::INT AS w, j,
+         ('0x' || substr(md5(text), 2 * (j % 16) + 1, 2))::INT AS b
+  FROM documents,
+       unnest(generate_series(0, 6 * (2 + doc_id % 3)::INT - 1)) t(j)
+)
+SELECT doc_id, max(w) AS width, 2::INT AS height,
+       round(avg(CASE WHEN j % 3 = 0 THEN b END), 6) AS mean_r,
+       round(avg(CASE WHEN j % 3 = 1 THEN b END), 6) AS mean_g,
+       round(avg(CASE WHEN j % 3 = 2 THEN b END), 6) AS mean_b,
+       max(b)::INT AS max_pixel, TRUE AS decode_ok
+FROM px GROUP BY doc_id"""
+
     sql["bm25_topk_conj"] = f"""
 WITH {TOK_CTE},
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
@@ -6841,6 +6858,31 @@ def q_routed_topk_topical(spark, sf_dir):
 
 QUERIES_ALL["topical_shards"] = q_topical_shards
 QUERIES_ALL["routed_topk_topical"] = q_routed_topk_topical
+
+
+def q_media_png_features(spark, sf_dir):
+    """VALUE-gated COMPRESSED-image decode: a real-PNG side-table (2×w
+    RGB from md5(text) digest bytes, per-row filter types cycling
+    through all five incl. Paeth) decoded by the library-free PNG
+    parser (operators/multimodal.py::parse_png — signature, per-chunk
+    CRC32, zlib inflate, full scanline de-filtering) and reduced to
+    per-doc pixel stats; the DuckDB oracle re-derives everything from
+    md5(text), so one wrong reconstructed byte anywhere in the
+    chunk/inflate/filter chain shifts a channel mean and fails the
+    gate. Closes the VERDICT r4 'decoders beyond WAV/PPM' gap for the
+    first compressed format."""
+    from .operators.multimodal import (decode_png_features,
+                                       media_png_from_documents)
+    media = media_png_from_documents(_docs(spark, sf_dir))
+    return decode_png_features(media).select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "max_pixel", "decode_ok")
+
+
+QUERIES_ALL["media_png_features"] = q_media_png_features
 
 
 # ---------------------------------------------------------------------

@@ -118,6 +118,16 @@ def builtin_decoder(payload: bytes, mime: str) -> np.ndarray:
         feats = np.concatenate([base / 255.0,
                                 np.zeros(FEATURE_DIM - base.size)])
         return feats.astype(np.float32)
+    if mime == "image/png":
+        px = parse_png(payload).astype(np.float64)
+        h, w, ch = px.shape
+        m = px.reshape(-1, ch).mean(axis=0)
+        m3 = np.pad(m, (0, max(0, 3 - ch)))[:3]
+        base = np.array([m3[0], m3[1], m3[2], px.max(), px.min(),
+                         float(h), float(w), float(ch)])
+        feats = np.concatenate([base / 255.0,
+                                np.zeros(FEATURE_DIM - base.size)])
+        return feats.astype(np.float32)
     raise NotImplementedError(f"no decoder for mime {mime!r}")
 
 
@@ -342,6 +352,206 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=WAV_FEATURES_SCHEMA)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def png_bytes(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """uint8 H×W×C array (C ∈ {1,3,4}) → REAL PNG bytes: 8-bit,
+    non-interlaced, zlib-compressed IDAT, per-chunk CRC32. ``filters``
+    picks the filter type per scanline (default: row i uses i % 5), and
+    the encoder APPLIES the filter arithmetic — so a decode exercises
+    all five reconstruction paths (None/Sub/Up/Average/Paeth), not just
+    the trivial one."""
+    import struct
+    import zlib
+    p = np.asarray(pixels, dtype=np.uint8)
+    if p.ndim == 2:
+        p = p[:, :, None]
+    h, w, ch = p.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    if filters is None:
+        filters = [i % 5 for i in range(h)]
+    bpp = ch
+    raw = p.reshape(h, w * ch).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for i in range(h):
+        row = raw[i]
+        ft = filters[i] % 5
+        if ft == 0:
+            enc = row.copy()
+        elif ft == 1:    # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            enc = row - left
+        elif ft == 2:    # Up
+            enc = row - prior
+        elif ft == 3:    # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            enc = row - (left + prior) // 2
+        else:            # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            pl = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
+            enc = row - np.array(
+                [_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prior, pl)], dtype=np.int32)
+        out.append(ft)
+        out.extend((enc % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode (stdlib zlib only): signature + chunk walk with
+    CRC32 verification, IHDR validation (8-bit gray/RGB/RGBA,
+    non-interlaced), multi-IDAT concatenation, zlib inflate, and full
+    scanline de-filtering (all five filter types incl. Paeth). Returns
+    uint8 H×W×C. Raises ValueError on any malformation — decode_ok=
+    False downstream, never a stage failure. Sequential-filter recon
+    is a per-row Python loop (spec-mandated data dependency); fine for
+    the Arrow-batched executor path where each payload is one row."""
+    import struct
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat, ended = 8, None, b"", False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR/IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError("unsupported PNG variant")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("IDAT length does not match dimensions")
+    bpp = ch
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for i in range(h):
+        ft = raw[i * (1 + stride)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, i * (1 + stride) + 1).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = (row + prior) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prior[x]) // 2
+                else:
+                    pl = prior[x - bpp] if x >= bpp else 0
+                    pred = _paeth(left, int(prior[x]), pl)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[i] = rec
+        prior = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def media_png_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG side-table: per doc one 2×w RGB PNG
+    (w = 2 + doc_id % 3) whose pixel byte j is md5(text) digest byte
+    j % 16, encoded with per-row filter (doc_id + row) % 5 — across a
+    corpus every filter type (incl. Paeth) rides through zlib and is
+    reconstructed by the decoder. Same md5 convention as the WAV/PPM
+    twins: the DuckDB oracle re-derives every decoded pixel stat from
+    `text` alone, value-gating signature/CRC/inflate/de-filter end to
+    end (a single wrong reconstruction byte shifts a channel mean)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5((text or "").encode("utf-8")).digest()
+                w = 2 + int(doc_id) % 3
+                n = 2 * w * 3
+                px = (np.frombuffer((digest * ((n // 16) + 1))[:n],
+                                    dtype=np.uint8).reshape(2, w, 3))
+                filters = [(int(doc_id) + r) % 5 for r in range(2)]
+                payloads.append(png_bytes(px, filters=filters))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "mime": "image/png",
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, mime string, payload binary")
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """binary PNG payload → per-doc image statistics via the REAL
+    parser (parse_png), Arrow-batched; malformed payloads yield
+    decode_ok=False rows (per-row containment, like the WAV/PPM
+    paths)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    px = parse_png(bytes(payload))
+                    h, w, _ = px.shape
+                    m = px.astype(np.float64).reshape(-1, 3).mean(axis=0)
+                    rows.append((int(doc_id), w, h,
+                                 round(float(m[0]), 6),
+                                 round(float(m[1]), 6),
+                                 round(float(m[2]), 6),
+                                 int(px.max()), True))
+                except ValueError:
+                    rows.append((int(doc_id), 0, 0, 0.0, 0.0, 0.0, 0, False))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                "max_pixel", "decode_ok"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=PPM_FEATURES_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,
