@@ -78,6 +78,20 @@ RUN_ID_DEFAULT = "spark-bm25"
 # big win before we risk it).
 AUTO_PRUNE_MAX_K = 100
 
+# Round-5 crossover measurement (BASELINE.md "Pruning crossover"):
+# the second axis is CORPUS VOLUME, not just k. The prune machinery
+# pays a per-batch fixed cost (block-meta aggregation, champion-θ
+# pass, candidate semi-joins — extra Spark stages whose cost is
+# independent of how many postings get skipped); the savings grow
+# with postings volume. Measured on the Zipf workload: at 312k turns
+# MaxScore LOSES at every k (pair-ratio p50 1.63–1.81, even k=10);
+# at 625k turns it is at worst parity at k≤100 (p50 0.82–1.10 across
+# rounds) and the postings-transfer fraction (0.342) shows the scan
+# saving that dominates at the 10^12-doc design point. topk_auto
+# therefore prunes only when the corpus clears this floor — below it
+# the exhaustive plan is never worse and often ~1.7× better.
+AUTO_PRUNE_MIN_DOCS = 500_000
+
 # --- proximity (NEAR/W) retrieval --------------------------------------
 # Window in token positions for the NEAR operator: every pair of
 # distinct query terms must co-occur within this many tokens. 8 is the

@@ -666,26 +666,34 @@ def wand_prune_stats(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
 def topk_auto(index_dl: DataFrame, qterms: DataFrame, n_docs: int,
               avgdl: float, k: int = TOP_K_DEFAULT, k1: float = BM25_K1,
               b: float = BM25_B, salt_buckets: int | None = None,
-              prune_max_k: int | None = None) -> DataFrame:
+              prune_max_k: int | None = None,
+              prune_min_docs: int | None = None) -> DataFrame:
     """Cost-based retrieval strategy pick — what the engine actually
     serves with when the caller doesn't name a strategy.
 
-    Block-max pruning is an optimization with a regime: it wins when
-    the θ floor converges quickly (shallow k) and loses to plain
-    exhaustive scoring at TREC depth, where θ stays low, few blocks
-    die, and the candidate-probe machinery is pure overhead (measured
-    both ways on the 300-query Zipf bench — BASELINE.md "Deep-k
-    honesty"). Both branches are rank/score-identical to bm25_topk
-    (each is independently oracle-gated), so the pick is cost-only:
-    k ≤ prune_max_k → all-JVM MaxScore; deeper → exhaustive serving
-    from the same blocked inline-dl index. The k-th-score threshold is
-    the driver's own input, so the decision costs nothing at plan time.
+    Block-max pruning is an optimization with a TWO-AXIS regime
+    (measured both ways on the Zipf bench — BASELINE.md "Deep-k
+    honesty" and "Pruning crossover"):
+    - depth: it wins when the θ floor converges quickly (shallow k)
+      and loses at TREC depth, where θ stays low, few blocks die, and
+      the candidate-probe machinery is pure overhead;
+    - corpus volume: the probe machinery costs a per-batch FIXED
+      number of extra Spark stages, so below ~0.5M docs (this
+      hardware) the postings-scan savings never repay it at any k.
+    Both branches are rank/score-identical to bm25_topk (each is
+    independently oracle-gated), so the pick is cost-only:
+    k ≤ prune_max_k AND n_docs ≥ min_docs → all-JVM MaxScore;
+    otherwise exhaustive serving from the same blocked inline-dl
+    index. Both inputs (k, n_docs) are the driver's own scalars, so
+    the decision costs nothing at plan time.
     """
-    from ..conf import AUTO_PRUNE_MAX_K
+    from ..conf import AUTO_PRUNE_MAX_K, AUTO_PRUNE_MIN_DOCS
     from .query import bm25_topk_from_index
     if prune_max_k is None:
         prune_max_k = AUTO_PRUNE_MAX_K
-    if k <= prune_max_k:
+    if prune_min_docs is None:
+        prune_min_docs = AUTO_PRUNE_MIN_DOCS
+    if k <= prune_max_k and n_docs >= prune_min_docs:
         return wand_topk_maxscore(index_dl, qterms, n_docs, avgdl, k=k,
                                   k1=k1, b=b, salt_buckets=salt_buckets)
     return bm25_topk_from_index(index_dl, None, qterms, n_docs, avgdl,
