@@ -346,7 +346,7 @@ def main() -> None:
              "hard_negatives", "next_word_topk",
              "winnow_fingerprints", "containment_pairs", "token_entropy",
              "zipf_slope", "shard_select", "bm25_topk_ef", "taat_bounded_topk", "scatter_gather_topk", "reassigned_postings", "corpus_diff", "index_checksums", "run_sigtest", "quantile_sketch", "routed_topk", "routing_recall", "taat_recall", "front_coded_dict", "dict_decoded", "auto_stopwords", "nb_classify", "infix_terms", "infix_topk",
-             "topical_shards", "routed_topk_topical", "media_png_features"]
+             "topical_shards", "routed_topk_topical", "media_png_features", "media_au_features", "iprec_eval"]
     for name in suite:
         t0 = time.time()
         # QUERIES_ALL: the bench times the individual relations, not the

@@ -3704,6 +3704,30 @@ SELECT doc_id, max(w) AS width, 1::INT AS height,
        max(b)::INT AS max_pixel, TRUE AS decode_ok
 FROM px GROUP BY doc_id"""
 
+    # AU twin of the WAV gate: sample byte i is md5 digest byte i; the
+    # G.711 µ-law expansion is the same integer bit arithmetic the
+    # Spark decoder runs (u = ~b; mag = ((m<<3)+132)<<e − 132)
+    sql["media_au_features"] = """
+WITH ub AS (
+  SELECT doc_id,
+         255 - ('0x' || substr(md5(text), 2 * i - 1, 2))::INT AS u
+  FROM documents, unnest(generate_series(1, 16)) t(i)
+),
+pcm AS (
+  SELECT doc_id,
+         CASE WHEN (u & 128) != 0
+              THEN -(((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132)
+              ELSE (((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132)
+         END AS s
+  FROM ub
+)
+SELECT doc_id, (8000 + (doc_id % 5) * 1000)::INT AS sample_rate,
+       16::INT AS n_samples,
+       round(avg(s), 6) AS mean_sample,
+       min(s)::INT AS min_sample, max(s)::INT AS max_sample,
+       TRUE AS decode_ok
+FROM pcm GROUP BY doc_id"""
+
     # PNG twin of the PPM gate: pixel byte j (0-based, 2×w RGB) is
     # md5(text) digest byte j % 16; the oracle never touches PNG bytes
     # — it re-derives the stats the REAL decode must reproduce
@@ -3772,6 +3796,44 @@ perq AS (
 SELECT nrel.qid, round(coalesce(perq.sum_p, 0) / nrel.n_rel, 6) AS ap,
        nrel.n_rel, coalesce(perq.n_ret_rel, 0)::BIGINT AS n_ret_rel
 FROM nrel LEFT JOIN perq USING (qid)"""
+
+    # 11-point interpolated precision-recall curve; the recall-level
+    # comparison is pure integer arithmetic on both engines
+    sql["iprec_eval"] = f"""
+WITH {_bm25_ctes()},
+runq AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT qq.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM q) qq, documents d
+  WHERE (d.doc_id + CAST(substr(qq.qid, 2) AS INT)) % 17 = 0
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1),
+hitr AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM runq r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+),
+cum AS (
+  SELECT qid, rank, rel,
+         sum(rel) OVER (PARTITION BY qid ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM hitr
+),
+relhits AS (SELECT qid, rank, cum_rel FROM cum WHERE rel = 1),
+best AS (
+  SELECT h.qid, t.level, max(h.cum_rel::DOUBLE / h.rank) AS best_p
+  FROM relhits h JOIN nrel n USING (qid)
+  CROSS JOIN unnest(generate_series(0, 10)) t(level)
+  WHERE h.cum_rel * 10 >= t.level * n.n_rel
+  GROUP BY 1, 2
+),
+lgrid AS (
+  SELECT nrel.qid, t.level FROM nrel
+  CROSS JOIN unnest(generate_series(0, 10)) t(level)
+)
+SELECT g.qid, g.level::INT AS level,
+       round(coalesce(b.best_p, 0.0), 6) AS iprec
+FROM lgrid g LEFT JOIN best b ON b.qid = g.qid AND b.level = g.level"""
 
     sql["ndcg_eval"] = f"""
 WITH {_bm25_ctes()},
@@ -6883,6 +6945,41 @@ def q_media_png_features(spark, sf_dir):
 
 
 QUERIES_ALL["media_png_features"] = q_media_png_features
+
+
+def q_iprec_eval(spark, sf_dir):
+    """11-point interpolated precision-recall curve per query
+    (functions/evaluation.py::iprec_at_recall) for the BM25 run vs
+    the deterministic qrels — the iprec_at_recall_0.00…_1.00 block of
+    trec_eval's standard output, next to MAP/P@k/nDCG/MRR/Recall/
+    ERR/bpref/R-prec/GMAP."""
+    from .functions.evaluation import iprec_at_recall
+    results = q_bm25_topk(spark, sf_dir)
+    return iprec_at_recall(results, _qrels(spark, sf_dir), depth=10)
+
+
+QUERIES_ALL["iprec_eval"] = q_iprec_eval
+
+
+def q_media_au_features(spark, sf_dir):
+    """VALUE-gated COMPRESSED-audio decode: a Sun AU (audio/basic)
+    side-table whose 16 G.711 µ-law sample bytes are md5(text),
+    decoded by the real parser (operators/multimodal.py::parse_au —
+    magic/offset/encoding validation + the ITU µ-law integer
+    expansion) and reduced to per-doc PCM stats; the DuckDB oracle
+    runs the IDENTICAL integer bit-arithmetic on the md5 hex, so the
+    whole header-parse + companding chain sits inside the value gate.
+    Second compressed media format after PNG."""
+    from .operators.multimodal import (decode_au_features,
+                                       media_au_from_documents)
+    media = media_au_from_documents(_docs(spark, sf_dir))
+    return decode_au_features(media).select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("mean_sample", 6).alias("mean_sample"),
+        "min_sample", "max_sample", "decode_ok")
+
+
+QUERIES_ALL["media_au_features"] = q_media_au_features
 
 
 # ---------------------------------------------------------------------

@@ -138,6 +138,51 @@ def recall_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
                      .alias("n_ret_rel")))
 
 
+def iprec_at_recall(results: DataFrame, qrels: DataFrame,
+                    depth: int = 1000) -> DataFrame:
+    """(qid, level, iprec) — the classic 11-point interpolated
+    precision-recall curve (trec_eval's iprec_at_recall_0.00 …
+    _1.00): for each recall level L/10,
+
+        iprec(L) = max{ P(j) : recall(j) ≥ L/10 }   (0 if no such j)
+
+    where P(j) = cum_rel/j at rank j. The max at any recall level is
+    attained at a rank that just retrieved a relevant doc (precision
+    strictly falls between hits while recall is flat), so only
+    rel-hit ranks participate — exact, not an approximation. The
+    recall comparison uses INTEGER arithmetic (10·cum_rel ≥ L·n_rel),
+    so no float-boundary disagreement with the oracle.
+
+    Scale shape: the run×qrels join + one window, then an 11-way
+    level explode over only the relevant-hit rows — all bounded by
+    the judged query set (reference analogue: the trec_eval output
+    block of /root/reference/src/run:40)."""
+    r = results.where(F.col("rank") <= depth)
+    n_rel = qrels.groupBy("qid").agg(F.count("*").cast("long").alias("n_rel"))
+    hit = (r.join(qrels.withColumn("_rel", F.lit(1)), ["qid", "doc_id"],
+                  "left")
+           .withColumn("_rel", F.coalesce("_rel", F.lit(0))))
+    w = Window.partitionBy("qid").orderBy("rank")
+    hit = (hit.withColumn("_cum_rel", F.sum("_rel").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .where(F.col("_rel") == 1)
+           .join(n_rel, "qid")
+           .select("qid", "n_rel",
+                   (F.col("_cum_rel") / F.col("rank")).alias("_p"),
+                   F.col("_cum_rel")))
+    lv = hit.select("qid", "n_rel", "_p", "_cum_rel",
+                    F.explode(F.sequence(F.lit(0), F.lit(10))).alias("level"))
+    best = (lv.where(F.col("_cum_rel") * 10 >= F.col("level") * F.col("n_rel"))
+            .groupBy("qid", "level")
+            .agg(F.max("_p").alias("_best")))
+    grid = n_rel.select(
+        "qid", F.explode(F.sequence(F.lit(0), F.lit(10))).alias("level"))
+    return (grid.join(best, ["qid", "level"], "left")
+            .select("qid", F.col("level").cast("int").alias("level"),
+                    F.round(F.coalesce("_best", F.lit(0.0)), 6)
+                    .alias("iprec")))
+
+
 def err_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     """(qid, err, n_rel) — Expected Reciprocal Rank @ k (Chapelle et
     al., CIKM 2009) with binary relevance, next to MAP/P@k/nDCG/MRR.

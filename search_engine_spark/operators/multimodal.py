@@ -118,6 +118,17 @@ def builtin_decoder(payload: bytes, mime: str) -> np.ndarray:
         feats = np.concatenate([base / 255.0,
                                 np.zeros(FEATURE_DIM - base.size)])
         return feats.astype(np.float32)
+    if mime == "audio/basic":
+        rate, _ch, s = parse_au(payload)
+        s64 = s.astype(np.float64)
+        if s64.size == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        base = np.array([s64.mean(), s64.std(), s64.min(), s64.max(),
+                         np.quantile(s64, 0.25), np.quantile(s64, 0.5),
+                         np.quantile(s64, 0.75), float(rate % 251)])
+        feats = np.concatenate([base / 32768.0,
+                                np.zeros(FEATURE_DIM - base.size)])
+        return feats.astype(np.float32)
     if mime == "image/png":
         px = parse_png(payload).astype(np.float64)
         h, w, ch = px.shape
@@ -340,6 +351,98 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     rate, _, s = parse_wav(bytes(payload))
+                    s64 = s.astype(np.float64)
+                    rows.append((int(doc_id), rate, int(s.size),
+                                 round(float(s64.mean()), 6),
+                                 int(s.min()), int(s.max()), True))
+                except ValueError:
+                    rows.append((int(doc_id), 0, 0, 0.0, 0, 0, False))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_samples", "mean_sample",
+                "min_sample", "max_sample", "decode_ok"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=WAV_FEATURES_SCHEMA)
+
+
+_AU_MAGIC = b".snd"
+_AU_HEADER = 24
+
+
+def mulaw_to_linear(u8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 µ-law byte → 16-bit linear PCM, vectorized.
+
+    Pure integer arithmetic (complement, exponent/mantissa unpack,
+    bias 0x84) — the identical expression runs in the DuckDB oracle,
+    so decoded samples are engine-exact. Anchor points of the
+    standard table hold: 0x00 → −32124, 0xFF → 0, 0x80 → +32124."""
+    u = (~np.asarray(u8, dtype=np.uint8)).astype(np.int32) & 0xFF
+    sign = (u & 0x80) != 0
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def au_bytes(ulaw: bytes, sample_rate: int = 8000) -> bytes:
+    """µ-law sample bytes → Sun AU (audio/basic) container: '.snd'
+    magic + big-endian header (offset, size, encoding=1 µ-law, rate,
+    channels=1)."""
+    import struct
+    return struct.pack(">4sIIIII", _AU_MAGIC, _AU_HEADER, len(ulaw),
+                       1, sample_rate, 1) + ulaw
+
+
+def parse_au(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real Sun AU parse: validates magic/offset/encoding, expands the
+    G.711 µ-law stream to int16 PCM. Returns (rate, channels,
+    samples); ValueError on malformed/unsupported — decode_ok=False
+    downstream, never a stage failure."""
+    import struct
+    if len(payload) < _AU_HEADER or payload[:4] != _AU_MAGIC:
+        raise ValueError("not a Sun AU container")
+    offset, size, enc, rate, n_ch = struct.unpack(">IIIII", payload[4:24])
+    if enc != 1:
+        raise ValueError("only G.711 mu-law (encoding 1) supported")
+    if offset < _AU_HEADER or offset > len(payload):
+        raise ValueError("bad data offset")
+    data = payload[offset:offset + size]
+    if len(data) != size:
+        raise ValueError("truncated data")
+    return rate, n_ch, mulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+
+
+def media_au_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-AU side-table: per doc one µ-law AU whose 16
+    sample bytes are the md5(text) digest, rate varying via doc_id
+    (header-only, so recovering it is part of what the gate proves).
+    Same md5 convention as the WAV/PPM/PNG twins — the oracle
+    re-derives every expanded PCM sample from `text` alone."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5((text or "").encode("utf-8")).digest()
+                rate = 8000 + int(doc_id) % 5 * 1000
+                payloads.append(au_bytes(digest, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "mime": "audio/basic",
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, mime string, payload binary")
+
+
+def decode_au_features(media: DataFrame) -> DataFrame:
+    """binary AU payload → per-doc sample statistics via the REAL
+    µ-law parser (parse_au), Arrow-batched, per-row failure
+    containment (same schema/shape as the WAV path)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, _, s = parse_au(bytes(payload))
                     s64 = s.astype(np.float64)
                     rows.append((int(doc_id), rate, int(s.size),
                                  round(float(s64.mean()), 6),

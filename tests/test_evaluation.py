@@ -307,3 +307,26 @@ def test_gmap_floor_and_geometry(spark):
     r = gmap(run, rel).collect()[0]
     assert r.n_queries == 2
     assert r.gmap == pytest.approx(math.sqrt(1.0 * 1e-5), abs=1e-6)
+
+
+def test_iprec_at_recall_golden(spark):
+    """11-point interpolated PR curve, hand-computed: qrels {1,3,5}
+    (n_rel=3), run hits rel docs at ranks 1 (P=1, R=1/3) and 3
+    (P=2/3, R=2/3) → iprec is 1.0 for levels 0.0-0.3, 2/3 for
+    0.4-0.6, and 0 beyond the achieved recall."""
+    from search_engine_spark.functions.evaluation import iprec_at_recall
+    results = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q1", 4, 4),
+         ("q1", 6, 5)],
+        "qid string, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", 1), ("q1", 3), ("q1", 5)], "qid string, doc_id long")
+    got = {r.level: r.iprec for r in
+           iprec_at_recall(results, qrels).collect()}
+    assert len(got) == 11
+    for lv in (0, 1, 2, 3):
+        assert got[lv] == pytest.approx(1.0)
+    for lv in (4, 5, 6):
+        assert got[lv] == pytest.approx(0.666667, abs=1e-6)
+    for lv in (7, 8, 9, 10):
+        assert got[lv] == 0.0

@@ -228,3 +228,45 @@ def test_png_gate_pipeline_matches_python(spark):
         assert abs(r.mean_r - px[0::3].mean()) < 1e-6
         assert abs(r.mean_g - px[1::3].mean()) < 1e-6
         assert abs(r.mean_b - px[2::3].mean()) < 1e-6
+
+
+def test_au_mulaw_roundtrip_and_anchors():
+    """The REAL Sun AU / G.711 µ-law codec: standard-table anchor
+    values, container round-trip, ValueError on malformed."""
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import (au_bytes,
+                                                          mulaw_to_linear,
+                                                          parse_au)
+    anchors = mulaw_to_linear(np.array([0x00, 0xFF, 0x80], dtype=np.uint8))
+    assert list(anchors) == [-32124, 0, 32124]
+    rate, n_ch, s = parse_au(au_bytes(bytes(range(256)), 11000))
+    assert rate == 11000 and n_ch == 1 and s.size == 256
+    assert (s == mulaw_to_linear(np.arange(256, dtype=np.uint8))).all()
+    enc = au_bytes(b"abcdef")
+    for bad in (b"", b".sndxxxx", enc[:20], enc[:-2]):
+        with pytest.raises(ValueError):
+            parse_au(bad)
+
+
+def test_au_gate_pipeline_matches_python(spark):
+    """decode_au_features over the md5-derived AU side-table equals a
+    pure-Python recomputation (the gate's oracle twin)."""
+    import hashlib
+
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import (
+        decode_au_features, media_au_from_documents, mulaw_to_linear)
+    rows = [(i, f"au doc {i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           decode_au_features(media_au_from_documents(docs)).collect()}
+    for doc_id, text in rows:
+        s = mulaw_to_linear(np.frombuffer(
+            hashlib.md5(text.encode()).digest(), dtype=np.uint8))
+        r = got[doc_id]
+        assert r.decode_ok and r.n_samples == 16
+        assert r.sample_rate == 8000 + doc_id % 5 * 1000
+        assert r.min_sample == int(s.min()) and r.max_sample == int(s.max())
+        assert abs(r.mean_sample - s.astype(float).mean()) < 1e-6
