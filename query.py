@@ -54,6 +54,10 @@ def main() -> None:
                     help="also print CORI shard routing: top-M of "
                          "--route-shards shards per query (ROUTE lines)")
     ap.add_argument("--route-shards", type=int, default=8)
+    ap.add_argument("--route-topical", action="store_true",
+                    help="route over topical (k-means signature) shards "
+                         "instead of doc_id %% n — the selective-search "
+                         "layout (recall ≥0.9 at top-m=2, BASELINE.md)")
     ap.add_argument("--near-window", type=int, default=None,
                     help="NEAR window in tokens (default conf.NEAR_WINDOW)")
     ap.add_argument("--trec-out", help="write TREC run lines here")
@@ -208,9 +212,15 @@ def main() -> None:
         res = res.drop("base_score")
     if args.route:
         from search_engine_spark.operators.shards import (cori_select,
-                                                          shard_stats)
+                                                          shard_stats,
+                                                          topical_shard_map)
+        smap = None
+        if args.route_topical:
+            smap = topical_shard_map(ix.term_counts, ix.doc_stats,
+                                     ix.term_stats, ix.n_docs,
+                                     n_shards=args.route_shards)
         tsh, ssz = shard_stats(ix.term_counts, ix.doc_stats,
-                               n_shards=args.route_shards)
+                               n_shards=args.route_shards, shard_of=smap)
         sel = cori_select(tsh, ssz, qterms, n_shards=args.route_shards,
                           top_m=args.route)
         for r in sel.orderBy("qid", "rank").collect():

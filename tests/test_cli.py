@@ -170,3 +170,16 @@ def test_cli_infix_mode(built_index):
     assert 1 <= len(rows) <= 5
     assert [int(r[2]) for r in rows] == list(range(1, len(rows) + 1))
     assert all(float(r[3]) > 0 for r in rows)
+
+
+def test_cli_route_topical(built_index):
+    """--route over topical shards: ROUTE lines with top-m=2 shard ids
+    per query, shards derived from the k-means signature map."""
+    got = _run(["query.py", "--index", built_index, "--cpus", "4",
+                "--mode", "taat", "--query", "a se", "--k", "3",
+                "--route", "2", "--route-shards", "4", "--route-topical"])
+    routes = [ln for ln in got.splitlines() if ln.startswith("ROUTE\t")]
+    assert len(routes) == 2  # top-2 shards for the one query
+    for ln in routes:
+        _, qid, shard, rank, score = ln.split("\t")
+        assert 0 <= int(shard) < 4 and int(rank) in (1, 2)
