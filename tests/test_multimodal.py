@@ -270,3 +270,44 @@ def test_au_gate_pipeline_matches_python(spark):
         assert r.sample_rate == 8000 + doc_id % 5 * 1000
         assert r.min_sample == int(s.min()) and r.max_sample == int(s.max())
         assert abs(r.mean_sample - s.astype(float).mean()) < 1e-6
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 8), w=st.integers(1, 8),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(h, w, ch, data):
+    """Property: ANY 8-bit image with ANY per-row filter choice
+    round-trips bit-exactly through the PNG codec."""
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import parse_png, png_bytes
+    px = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=h * w * ch,
+                           max_size=h * w * ch)),
+        dtype=np.uint8).reshape(h, w, ch)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    got = parse_png(png_bytes(px, filters=filters))
+    assert got.shape == (h, w, ch) and (got == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=64), st.integers(1, 96000))
+def test_au_roundtrip_property(ulaw, rate):
+    """Property: any µ-law byte stream round-trips through the AU
+    container, and the expansion matches the scalar G.711 formula."""
+    import numpy as np
+
+    from search_engine_spark.operators.multimodal import au_bytes, parse_au
+    got_rate, n_ch, s = parse_au(au_bytes(ulaw, rate))
+    assert got_rate == rate and n_ch == 1 and s.size == len(ulaw)
+    for b, v in zip(ulaw, s):
+        u = ~b & 0xFF
+        mag = ((((u & 15) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        assert int(v) == (-mag if (u & 0x80) else mag)
