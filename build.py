@@ -37,6 +37,14 @@ def main() -> None:
     ap.add_argument("--no-compress", action="store_true")
     ap.add_argument("--salt-buckets", type=int, default=None)
     ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--topical-shards", type=int, default=0, metavar="N",
+                    help="topical index layout: cluster conversations "
+                         "into N topical shards (k-means over hashed "
+                         "tf-idf signatures), reassign doc-ids so each "
+                         "shard is a contiguous id range, and build "
+                         "over the reassigned corpus; per-shard id "
+                         "bounds land in <out>/topical_bounds.json "
+                         "(serving derives shard from id arithmetic)")
     ap.add_argument("--positional", action="store_true",
                     help="also commit the positional index stage "
                          "(enables phrase/NEAR query modes)")
@@ -61,6 +69,43 @@ def main() -> None:
     else:
         ap.error("need --input or --synthetic")
     tw = mint_doc_ids(t)
+    if args.topical_shards:
+        # Topical layout pass (BASELINE.md "Selective search"): one
+        # extra tokenize of the corpus buys a build where every topical
+        # shard is a contiguous doc-id range — selective-search routing
+        # (CORI top-m) then reaches ≥0.9 recall at m=2, and delta-gap
+        # compression improves (topically-adjacent docs share terms).
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.functions.tokenize import term_counts
+        from search_engine_spark.operators.index_build import (doc_stats,
+                                                               term_stats)
+        from search_engine_spark.operators.shards import (topical_reassign,
+                                                          topical_shard_map)
+        tc0 = term_counts(tw.select("doc_id", "text")).persist()
+        ds0 = doc_stats(tc0)
+        ts0 = term_stats(tc0)
+        n0 = tw.count()
+        conv = tw.select("doc_id", F.col("conv_id").alias("gid"))
+        smap = topical_shard_map(tc0, ds0, ts0, n0,
+                                 n_shards=args.topical_shards,
+                                 dim=32, n_iters=4, group_of=conv)
+        mapping, bounds = topical_reassign(smap, args.topical_shards)
+        # Docs with no terms (empty turns) get id = n_assigned + old_id:
+        # unique by construction, past every shard range, zero shuffle.
+        # They index nothing — the id only anchors doc_map expand-back,
+        # so density beyond the indexed range is irrelevant.
+        n_assigned = mapping.count()
+        tw = (tw.join(mapping, "doc_id", "left")
+              .withColumn("_new", F.coalesce(
+                  "new_id", F.lit(n_assigned) + F.col("doc_id")))
+              .drop("doc_id", "new_id")
+              .withColumnRenamed("_new", "doc_id"))
+        tc0.unpersist()
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "topical_bounds.json"), "w") as f:
+            json.dump({"n_shards": args.topical_shards,
+                       "bounds": bounds}, f)
     res = build_index_checkpointed(
         spark, tw, args.out, resume=not args.no_resume,
         compress=not args.no_compress,

@@ -183,3 +183,21 @@ def test_cli_route_topical(built_index):
     for ln in routes:
         _, qid, shard, rank, score = ln.split("\t")
         assert 0 <= int(shard) < 4 and int(rank) in (1, 2)
+
+
+def test_cli_topical_build_layout(tmp_path_factory):
+    """build.py --topical-shards: the committed index carries the
+    per-shard doc-id bounds, ids are contiguous per shard, and the
+    index remains queryable."""
+    import json
+    out = str(tmp_path_factory.mktemp("cli_topical") / "idx")
+    _run(["build.py", "--synthetic", "30", "--out", out, "--cpus", "4",
+          "--topical-shards", "4"])
+    with open(os.path.join(out, "topical_bounds.json")) as f:
+        tb = json.load(f)
+    assert tb["n_shards"] == 4
+    assert tb["bounds"][0] == 0 and sorted(tb["bounds"]) == tb["bounds"]
+    got = _run(["query.py", "--index", out, "--cpus", "4",
+                "--mode", "taat", "--query", "a se", "--k", "3"])
+    assert any(ln.split("\t")[0] == "a se" or "\t" in ln
+               for ln in got.splitlines())
