@@ -57,7 +57,14 @@ def main() -> None:
     ap.add_argument("--route-topical", action="store_true",
                     help="route over topical (k-means signature) shards "
                          "instead of doc_id %% n — the selective-search "
-                         "layout (recall ≥0.9 at top-m=2, BASELINE.md)")
+                         "layout (recall ≥0.9 at top-m=2, BASELINE.md); "
+                         "implied (via the committed id-range bounds, "
+                         "zero-join) when the index was built with "
+                         "--topical-shards")
+    ap.add_argument("--route-serve", action="store_true",
+                    help="with --route M: serve the route-then-score "
+                         "ranking (only the top-M shards scored) instead "
+                         "of the monolithic one")
     ap.add_argument("--near-window", type=int, default=None,
                     help="NEAR window in tokens (default conf.NEAR_WINDOW)")
     ap.add_argument("--trec-out", help="write TREC run lines here")
@@ -212,19 +219,37 @@ def main() -> None:
         res = res.drop("base_score")
     if args.route:
         from search_engine_spark.operators.shards import (cori_select,
+                                                          routed_topk,
                                                           shard_stats,
                                                           topical_shard_map)
-        smap = None
-        if args.route_topical:
+        n_sh = args.route_shards
+        if ix.topical is not None:
+            # topical-layout build: shard derives from the reassigned
+            # doc-id RANGE (topical_bounds.json) — zero joins, no
+            # recomputation; --route-shards is ignored in favor of the
+            # build's own shard count
+            n_sh = ix.topical[0]
+            smap = ix.topical_shard_col()
+        elif args.route_topical:
+            # ad-hoc topical routing over a non-topical build: compute
+            # the k-means signature map on the fly (build-time cost)
             smap = topical_shard_map(ix.term_counts, ix.doc_stats,
                                      ix.term_stats, ix.n_docs,
-                                     n_shards=args.route_shards)
+                                     n_shards=n_sh)
+        else:
+            smap = None
         tsh, ssz = shard_stats(ix.term_counts, ix.doc_stats,
-                               n_shards=args.route_shards, shard_of=smap)
-        sel = cori_select(tsh, ssz, qterms, n_shards=args.route_shards,
+                               n_shards=n_sh, shard_of=smap)
+        sel = cori_select(tsh, ssz, qterms, n_shards=n_sh,
                           top_m=args.route)
         for r in sel.orderBy("qid", "rank").collect():
             print(f"ROUTE\t{r.qid}\t{r.shard_id}\t{r.rank}\t{r.score}")
+        if args.route_serve:
+            # selective-search serving: REPLACE the monolithic result
+            # with the route-then-score ranking (top-m shards only)
+            res = routed_topk(ix.term_counts, ix.doc_stats, ix.term_stats,
+                              qterms, ix.n_docs, ix.avgdl, n_shards=n_sh,
+                              top_m=args.route, k=args.k, shard_of=smap)
     if args.significant:
         from search_engine_spark.operators.facets import significant_terms
         sig = significant_terms(ix.term_counts, ix.term_stats, qterms,

@@ -26,7 +26,7 @@ statistics that a sharded deployment of it would need.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -41,19 +41,21 @@ TOPIC_KMEANS_ITERS = 2  # fixed Lloyd iterations (deterministic)
 
 
 def _shard_cols(df: DataFrame, n_shards: int,
-                shard_of: DataFrame | None) -> DataFrame:
-    """Attach shard_id: doc_id % n_shards by default, else the
-    explicit (doc_id, shard_id) mapping (topical sharding). The map
-    join is build-time only — serving derives the shard from the
-    reassigned doc-id range (shard_id_from_ranges), zero-join."""
+                shard_of) -> DataFrame:
+    """Attach shard_id: doc_id % n_shards by default; a (doc_id,
+    shard_id) DataFrame mapping (build-time topical sharding); or a
+    Column EXPRESSION (serving-time topical layout — e.g.
+    shard_id_from_ranges over a reassigned id, zero joins)."""
     if shard_of is None:
         return df.withColumn(
             "shard_id", (F.col("doc_id") % n_shards).cast("int"))
+    if isinstance(shard_of, Column):
+        return df.withColumn("shard_id", shard_of.cast("int"))
     return df.join(shard_of.select("doc_id", "shard_id"), "doc_id")
 
 
 def shard_stats(tc: DataFrame, ds: DataFrame, n_shards: int = 8,
-                shard_of: DataFrame | None = None
+                shard_of: DataFrame | Column | None = None
                 ) -> tuple[DataFrame, DataFrame]:
     """Per-shard term stats (shard_id = doc_id % n_shards, or the
     explicit `shard_of` mapping for topically-partitioned shards).
@@ -155,7 +157,8 @@ def scatter_gather_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
 def routed_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                 qterms: DataFrame, n_docs: int, avgdl: float,
                 n_shards: int = 8, top_m: int = 4,
-                k: int = 10, shard_of: DataFrame | None = None) -> DataFrame:
+                k: int = 10,
+                shard_of: DataFrame | Column | None = None) -> DataFrame:
     """Route-then-score: CORI-select top_m shards per query, score
     ONLY those shards' documents (global df/avgdl), top-k. The
     end-to-end selective-search serving path (route → scatter →

@@ -308,6 +308,19 @@ class OpenedIndex:
     # committed only for positional builds (build --positional); None
     # otherwise — phrase/NEAR serving probes this
     positional: DataFrame | None = None
+    # committed only for topical-layout builds (build --topical-shards):
+    # per-shard doc-id range starts, so serving derives shard_id from
+    # id arithmetic (shards.shard_id_from_ranges) with ZERO joins —
+    # (n_shards, bounds) or None
+    topical: tuple[int, list[int]] | None = None
+
+    def topical_shard_col(self, id_col: str = "doc_id"):
+        """shard_id column expression for a topical-layout index
+        (raises if the build wasn't topical)."""
+        if self.topical is None:
+            raise ValueError("index was not built with --topical-shards")
+        from ..operators.shards import shard_id_from_ranges
+        return shard_id_from_ranges(id_col, self.topical[1])
 
     def postings_blocked(self, qterms: DataFrame | None = None) -> DataFrame:
         """Index with struct postings restored (decoding if needed).
@@ -388,4 +401,15 @@ def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
         # the key default to trusting the marker.
         positional=rd("positional")
         if bool(meta.get("positional", True)) and _is_done(out_dir, "positional")
-        else None)
+        else None,
+        topical=_load_topical_bounds(out_dir))
+
+
+def _load_topical_bounds(out_dir: str) -> tuple[int, list[int]] | None:
+    """(n_shards, bounds) from a --topical-shards build, else None."""
+    path = os.path.join(out_dir, "topical_bounds.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        tb = json.load(f)
+    return int(tb["n_shards"]), [int(b) for b in tb["bounds"]]

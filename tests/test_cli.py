@@ -201,3 +201,21 @@ def test_cli_topical_build_layout(tmp_path_factory):
                 "--mode", "taat", "--query", "a se", "--k", "3"])
     assert any(ln.split("\t")[0] == "a se" or "\t" in ln
                for ln in got.splitlines())
+
+
+def test_cli_route_serve_on_topical_index(tmp_path_factory):
+    """Full selective-search serving from the CLI: the index built with
+    --topical-shards carries id-range bounds, --route M --route-serve
+    routes per query (zero-join shard derivation) and serves the
+    route-then-score ranking."""
+    out = str(tmp_path_factory.mktemp("cli_serve") / "idx")
+    _run(["build.py", "--synthetic", "30", "--out", out, "--cpus", "4",
+          "--topical-shards", "4"])
+    got = _run(["query.py", "--index", out, "--cpus", "4",
+                "--mode", "taat", "--query", "a se", "--k", "3",
+                "--route", "2", "--route-serve"])
+    lines = got.splitlines()
+    routes = [ln for ln in lines if ln.startswith("ROUTE\t")]
+    hits = [ln for ln in lines if ln.startswith("q001\t")]
+    assert len(routes) == 2  # top-2 of the build's 4 shards
+    assert 1 <= len(hits) <= 3 and hits[0].split("\t")[2] == "1"
