@@ -448,6 +448,27 @@ def main() -> None:
         extras[f"routing_recall_idshard_{nsh}sh_m2"] = round(float(rec_i), 4)
         if nsh != 8:
             smap.unpersist()
+    # routed-serving concentration evidence: what fraction of the
+    # queries' (qid, posting) hit rows live INSIDE the 2-of-8 routed
+    # shards. High coverage is the topical-layout payoff stated in
+    # work terms: the router skips 6/8 shards (75% of the scan
+    # fan-out at cluster scale, where unprobed shards cost nothing)
+    # while losing only 1-coverage of the scorable hits. On a hash
+    # layout this coverage would be ≈ m/n = 0.25 by construction.
+    from search_engine_spark.operators.shards import (cori_select,
+                                                      shard_stats)
+    tsh8, ssz8 = shard_stats(ttc, tds, n_shards=8, shard_of=smap)
+    routes8 = (cori_select(tsh8, ssz8, tq, n_shards=8, top_m=2)
+               .select("qid", "shard_id"))
+    qhits = (ttc.join(F.broadcast(tq.select("qid", "term").distinct()),
+                      "term")
+             .join(smap, "doc_id"))
+    full_hits = qhits.count()
+    routed_hits = qhits.join(F.broadcast(routes8),
+                             ["qid", "shard_id"], "leftsemi").count()
+    extras["routed_hits_coverage_8sh_m2"] = round(
+        routed_hits / max(full_hits, 1), 4)
+
     # doc-id reassignment compression evidence (Silvestri ECIR 2007):
     # topical ids cluster each term's postings into short-gap runs.
     # Only the id-GAP stream can shrink — tf/dl streams are id-order-
