@@ -112,7 +112,9 @@ def cori_select(term_shard: DataFrame, shard_size: DataFrame,
 
 def scatter_gather_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
                         qterms: DataFrame, n_docs: int, avgdl: float,
-                        n_shards: int = 8, k: int = 10) -> DataFrame:
+                        n_shards: int = 8, k: int = 10,
+                        shard_of: DataFrame | Column | None = None
+                        ) -> DataFrame:
     """Scatter-gather serving: per-shard BM25 top-k with GLOBAL
     statistics, merged and re-cut to k — and by the standard safety
     property (every shard returns its full local top-k, scores use
@@ -128,11 +130,15 @@ def scatter_gather_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     idf per shard and break the identity; the broadcast term dict
     carries the global df to every shard, the same way a real
     deployment ships the global dictionary with each index shard.
+    `shard_of` swaps the hash layout for a topical map / id-range
+    column — the identity holds for ANY layout (the property the
+    oracle gate and tests pin).
     """
     from .query import _bm25_idf, _topk
 
     qdict = F.broadcast(qterms.join(tstats, "term", "inner"))
-    hits = (tc.join(qdict, "term", "inner")
+    hits = (_shard_cols(tc, n_shards, shard_of)
+            .join(qdict, "term", "inner")
             .join(ds.select("doc_id", "dl"), "doc_id"))
     from ..conf import BM25_B, BM25_K1
     tf = F.col("tf").cast("double")
@@ -140,10 +146,8 @@ def scatter_gather_topk(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
     sat = tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * dl_norm)
     partial = (F.col("qtf")
                * _bm25_idf(F.col("df").cast("double"), n_docs) * sat)
-    scored = (hits.select(
-                  "qid", "doc_id",
-                  (F.col("doc_id") % n_shards).cast("int").alias("shard_id"),
-                  partial.alias("partial"))
+    scored = (hits.select("qid", "doc_id", "shard_id",
+                          partial.alias("partial"))
               .groupBy("qid", "shard_id", "doc_id")
               .agg(F.round(F.sum("partial"), 6).alias("score")))
     w_local = Window.partitionBy("qid", "shard_id").orderBy(

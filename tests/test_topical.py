@@ -100,6 +100,25 @@ def test_routed_full_fanout_identity(corpus, spark):
     assert a == b
 
 
+def test_scatter_gather_identity_on_topical_layout(corpus, spark):
+    """scatter_gather's monolithic-identity safety property holds for
+    ANY shard layout — here the topical map (global stats + full local
+    top-k make the merge exact regardless of partitioning)."""
+    from search_engine_spark.operators.shards import scatter_gather_topk
+    _, tc, ds, ts, n_docs, avgdl = corpus
+    slices = topic_vocab_slices(4, seed=11)
+    rng = random.Random(9)
+    q = query_terms_df(spark, [
+        (f"q{j}", " ".join(rng.sample(slices[j % 4][:40], 2)))
+        for j in range(5)])
+    smap = topical_shard_map(tc, ds, ts, n_docs, n_shards=4)
+    sg = scatter_gather_topk(tc, ds, ts, q, n_docs, avgdl,
+                             n_shards=4, k=10, shard_of=smap)
+    full = bm25_topk(tc, ds, ts, q, n_docs, avgdl, k=10)
+    assert sorted(map(tuple, sg.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
 def test_topical_routing_beats_id_sharding(corpus, spark):
     """The point of the operator: CORI routing at top_m=2 over
     conv-level topical shards reaches ≥0.9 mean recall@10 of the full
