@@ -91,6 +91,10 @@ def main() -> None:
                                  n_shards=args.topical_shards,
                                  dim=32, n_iters=4, group_of=conv)
         mapping, bounds = topical_reassign(smap, args.topical_shards)
+        # Materialize the mapping ONCE: several downstream build stages
+        # consume tw, and without this every stage would re-derive the
+        # whole k-means featurization + range shuffle from lineage.
+        mapping = mapping.localCheckpoint(eager=True)
         # Docs with no terms (empty turns) get id = n_assigned + old_id:
         # unique by construction, past every shard range, zero shuffle.
         # They index nothing — the id only anchors doc_map expand-back,
@@ -104,8 +108,19 @@ def main() -> None:
         tc0.unpersist()
         os.makedirs(args.out, exist_ok=True)
         with open(os.path.join(args.out, "topical_bounds.json"), "w") as f:
+            # n_docs fingerprints the corpus so open_index can reject a
+            # bounds file left behind by a DIFFERENT build in this dir
             json.dump({"n_shards": args.topical_shards,
-                       "bounds": bounds}, f)
+                       "bounds": bounds,
+                       "n_docs": n0}, f)
+    else:
+        # a rebuild WITHOUT the topical layout must invalidate any
+        # bounds a previous topical build committed here — stale bounds
+        # would silently drive wrong id-range shard routing at serve
+        # time
+        stale = os.path.join(args.out, "topical_bounds.json")
+        if os.path.exists(stale):
+            os.remove(stale)
     res = build_index_checkpointed(
         spark, tw, args.out, resume=not args.no_resume,
         compress=not args.no_compress,

@@ -217,6 +217,8 @@ def main() -> None:
                            ix.positional_pruned(qterms), qterms,
                            k=args.k, window=args.rescore)
         res = res.drop("base_score")
+    if (args.route_serve or args.route_topical) and not args.route:
+        ap.error("--route-serve/--route-topical require --route M")
     if args.route:
         from search_engine_spark.operators.shards import (cori_select,
                                                           routed_topk,

@@ -555,13 +555,19 @@ def q_bm25_topk_conj_indexed(spark, sf_dir):
 
 
 def q_bm25_topk_auto(spark, sf_dir):
-    """Cost-based strategy pick at shallow k (k=10 → the all-JVM
-    MaxScore pruned path). Same oracle as bm25_topk — whichever branch
-    the cost rule takes must be rank/score-identical."""
+    """Cost-based strategy pick at shallow k, with prune_min_docs
+    forced to 0 so the fixture-scale corpus takes the PRUNED dispatch
+    arm (k=10 → the all-JVM MaxScore path) — without the override the
+    round-5 corpus-volume floor (AUTO_PRUNE_MIN_DOCS=500k, BASELINE.md
+    'Pruning crossover') would route every sf fixture to the
+    exhaustive branch and the pruned arm would leave oracle coverage.
+    Same oracle as bm25_topk — whichever branch the cost rule takes
+    must be rank/score-identical."""
     from .operators.wand import topk_auto
     idx_dl, n_docs, avgdl = _indexed_corpus(spark, sf_dir)
     q = query_terms_df(spark, QUERY_SET)
-    return topk_auto(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8)
+    return topk_auto(idx_dl, q, n_docs, avgdl, k=10, salt_buckets=8,
+                     prune_min_docs=0)
 
 
 def q_bm25_topk_auto_trec(spark, sf_dir):

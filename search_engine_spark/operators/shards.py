@@ -286,7 +286,7 @@ def topical_shard_map(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
             .select("cell", F.col("v").alias("centv"))
             .localCheckpoint(eager=True))
     assign = None
-    for _ in range(n_iters):
+    for it in range(n_iters):
         scored = (v.crossJoin(F.broadcast(cent))
                   .select("doc_id", "v", "cell",
                           F.round(cosine(F.col("v"), F.col("centv")),
@@ -294,6 +294,9 @@ def topical_shard_map(tc: DataFrame, ds: DataFrame, tstats: DataFrame,
         wa = Window.partitionBy("doc_id").orderBy(F.desc("cos"), F.asc("cell"))
         assign = (scored.withColumn("_rn", F.row_number().over(wa))
                   .where(F.col("_rn") == 1).select("doc_id", "v", "cell"))
+        if it == n_iters - 1:
+            break  # the final assignment is the output; a further
+            # centroid update would be a dead corpus-scale aggregation
         comp = assign.select("cell", F.posexplode("v").alias("pos", "x"))
         cent = (comp.groupBy("cell", "pos")
                 .agg(F.round(F.avg("x"), 6).alias("cval"))

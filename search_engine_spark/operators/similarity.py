@@ -345,7 +345,12 @@ def brute_topk_np(emb: DataFrame, n_queries: int = 5, k: int = 5,
     HALF_UP the fold path gets, so values can differ from the fold only
     by intra-dot summation order (absorbed by round(cos,4)). The
     in-kernel candidate selection uses a numpy HALF_UP replica of the
-    same rounding purely as the comparator.
+    same rounding as the comparator, and keeps every row within ONE
+    4dp quantum of the batch's k-th score: numpy's float HALF_UP and
+    Java's decimal-string HALF_UP can disagree on a value whose double
+    sits a hair below a .5 boundary, but never by more than one
+    quantum — the slack guarantees no true global-top-k row is cut
+    before the final JVM-rounded window.
 
     Query vectors are collected driver-side — n_queries × dim doubles,
     bounded by the query set like every other driver-side query table
@@ -378,7 +383,13 @@ def brute_topk_np(emb: DataFrame, n_queries: int = 5, k: int = 5,
             for j in range(len(qids)):
                 valid = ids != qids[j]
                 vi, sj, rj = ids[valid], s[valid, j], r4[valid, j]
-                top = np.lexsort((vi, -rj))[:k]
+                order = np.lexsort((vi, -rj))
+                if order.size > k:
+                    # one-quantum slack below the batch k-th (see doc)
+                    thr = rj[order[k - 1]] - 10.0 ** -COS_DECIMALS
+                    top = order[rj[order] >= thr]
+                else:
+                    top = order
                 out.append(pd.DataFrame(
                     {"qid": qids[j], "vec_id": vi[top], "cos_raw": sj[top]}))
             yield pd.concat(out, ignore_index=True)

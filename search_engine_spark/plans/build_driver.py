@@ -402,14 +402,28 @@ def open_index(spark: SparkSession, out_dir: str) -> OpenedIndex:
         positional=rd("positional")
         if bool(meta.get("positional", True)) and _is_done(out_dir, "positional")
         else None,
-        topical=_load_topical_bounds(out_dir))
+        topical=_load_topical_bounds(out_dir, int(meta["n_docs"])))
 
 
-def _load_topical_bounds(out_dir: str) -> tuple[int, list[int]] | None:
-    """(n_shards, bounds) from a --topical-shards build, else None."""
+def _load_topical_bounds(out_dir: str,
+                         n_docs: int) -> tuple[int, list[int]] | None:
+    """(n_shards, bounds) from a --topical-shards build, else None.
+
+    The bounds file carries the corpus row count it was minted for;
+    a file whose fingerprint disagrees with the committed meta (a
+    leftover from a different build in the same directory, or a
+    resume that changed the corpus) is REJECTED rather than silently
+    driving wrong id-range shard routing. Legacy files without the
+    fingerprint are also rejected — rebuild to re-mint them."""
     path = os.path.join(out_dir, "topical_bounds.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
         tb = json.load(f)
-    return int(tb["n_shards"]), [int(b) for b in tb["bounds"]]
+    if int(tb.get("n_docs", -1)) != int(n_docs):
+        return None
+    bounds = [int(b) for b in tb["bounds"]]
+    if not bounds or bounds[0] != 0 or sorted(bounds) != bounds \
+            or bounds[-1] > n_docs:
+        return None
+    return int(tb["n_shards"]), bounds

@@ -219,3 +219,16 @@ def test_cli_route_serve_on_topical_index(tmp_path_factory):
     hits = [ln for ln in lines if ln.startswith("q001\t")]
     assert len(routes) == 2  # top-2 of the build's 4 shards
     assert 1 <= len(hits) <= 3 and hits[0].split("\t")[2] == "1"
+
+
+def test_cli_rebuild_invalidates_stale_topical_bounds(tmp_path_factory):
+    """A non-topical rebuild into the same directory must remove the
+    previous topical build's bounds file — stale bounds would silently
+    drive wrong id-range shard routing at serve time."""
+    out = str(tmp_path_factory.mktemp("cli_stale") / "idx")
+    _run(["build.py", "--synthetic", "20", "--out", out, "--cpus", "4",
+          "--topical-shards", "4"])
+    assert os.path.exists(os.path.join(out, "topical_bounds.json"))
+    _run(["build.py", "--synthetic", "20", "--out", out, "--cpus", "4",
+          "--no-resume"])
+    assert not os.path.exists(os.path.join(out, "topical_bounds.json"))

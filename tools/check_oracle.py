@@ -47,11 +47,12 @@ def main() -> int:
     if only:
         from search_engine_spark.entry_queries import (QUERIES_ALL,
                                                        oracle_sql_map_all)
+        base = oracle_sql_map_all()  # build the full map ONCE
         for n in only:
             if n not in qs and n in QUERIES_ALL:
                 qs[n] = QUERIES_ALL[n]
-                oracles.update({k: v for k, v in oracle_sql_map_all().items()
-                                if k == n})
+                if n in base:
+                    oracles[n] = base[n]
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
